@@ -1,0 +1,20 @@
+"""audio2face_tpu — a TPU-native (JAX/XLA/Pallas/pjit) speech-to-3D-face framework.
+
+Re-designed from scratch with the capabilities of xtliu97/audio2face-pytorch
+(reference mounted read-only at /root/reference): three model families
+(Audio2Mesh, VOCA, FaceFormer) plus the experimental Song2Face, a fused JAX
+audio DSP front-end (MFCC / wav2vec2), VOCASET data pipeline, position+velocity
+losses, a jit'd training loop with pjit data/tensor parallelism, orbax
+checkpoints, and a software renderer producing FLAME mesh animations.
+
+Public surface mirrors the reference (config.yaml keys incl. the `percision`
+spelling, `{audio, one_hot, template} -> (B, T, 5023, 3)` model contract,
+12-subject VOCASET split) while the implementation is TPU-first.
+"""
+
+__version__ = "0.1.0"
+
+from audio2face_tpu.config import ExpConfig
+from audio2face_tpu.registry import get_model, get_extractor, get_loss_fn
+
+__all__ = ["ExpConfig", "get_model", "get_extractor", "get_loss_fn", "__version__"]

@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+Multi-chip sharding tests run against this virtual mesh, mirroring how the
+driver dry-runs the multi-chip path without real hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep tests deterministic and CPU-friendly.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The env var alone is not enough when a TPU PJRT plugin force-registers
+# itself; pin the platform through the config API as well.
+jax.config.update("jax_platforms", "cpu")
