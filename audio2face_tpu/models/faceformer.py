@@ -1,0 +1,237 @@
+"""FaceFormer — wav2vec2 encoder + autoregressive mesh-transformer decoder.
+
+Semantics parity with the reference (src/model/faceformer.py:91-188), which
+runs a per-frame Python loop re-decoding the full prefix every step with a
+precomputed 600x600 biased mask (O(T^2) recompute per step, O(T^3) total —
+faceformer.py:154-185, hard-capped at 10 s). Because the decoder is causally
+masked, position t's output is prefix-invariant, so the loop is exactly
+equivalent to a single sequential pass computing each position once. This
+implementation is that pass, TPU-native:
+
+- ``jax.lax.scan`` over frames with a KV cache — O(T) steps of O(T) attention
+  (total O(T^2) instead of O(T^3)), no sequence cap: 60 s+ clips decode
+  on-chip.
+- The period-bucketed ALiBi bias (faceformer.py:22-54) is computed on the
+  fly — no mask table.
+- The diagonal-only cross-attention (enc_dec_mask, faceformer.py:58-66) makes
+  every cross softmax a single unmasked element with weight 1, so cross
+  attention reduces *exactly* to ``out_proj(v_proj(memory[t]))`` — hoisted out
+  of the scan as one batched MXU matmul.
+- The per-step feedback ``emb_{t+1} = vertice_map(vertice_map_r(h_t)) + style``
+  (faceformer.py:181-185 with zero-init maps :132-135) factors through the
+  15069-dim vertex space; inside the scan we use the composed 64x64 matrix
+  ``Wr @ Wm`` and emit h_t, then produce vertices after the scan as a single
+  (B*T, 64) @ (64, 15069) MXU matmul.
+- Periodic positional encoding (faceformer.py:70-88) is a (60, 64) constant
+  indexed mod period.
+- Batched: everything carries a batch axis (the reference is hard-wired to
+  batch 1, train.py:33); padded items use ``lengths`` (samples) and the
+  returned frame mask.
+
+Training backprops through the scan (reference trains through the full
+autoregressive unroll — no teacher forcing); the step is rematerialized to
+keep activation memory O(T) instead of O(T * layers).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+from audio2face_tpu.ops.attention import decode_step_attention
+from audio2face_tpu.ops.dsp import wav2vec2_zero_mean_unit_var
+
+FEATURE_DIM = 64
+N_HEADS = 4
+PERIOD = 60
+FPS = 60
+AUDIO_SR = 16000
+
+
+def periodic_positional_encoding(period: int = PERIOD, d_model: int = FEATURE_DIM) -> np.ndarray:
+    """The (period, d_model) sinusoid table of the reference PPE
+    (src/model/faceformer.py:70-88); position t uses row t % period."""
+    position = np.arange(period, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * (-math.log(10000.0) / d_model))
+    pe = np.zeros((period, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(np.float32)
+
+
+def frame_count(n_samples: int) -> int:
+    """frame_num = samples * 60 // 16000 (reference: faceformer.py:141)."""
+    return n_samples * FPS // AUDIO_SR
+
+
+class FaceFormer(nn.Module):
+    n_verts: int
+    n_onehot: int
+    dtype: jnp.dtype | None = None
+    remat_scan: bool = True
+
+    def _dense_params(self, name: str, d_in: int, d_out: int, *, bias: bool = True, zeros: bool = False):
+        init_k = nn.initializers.zeros if zeros else nn.initializers.lecun_normal()
+        kernel = self.param(f"{name}_kernel", init_k, (d_in, d_out))
+        if not bias:
+            return kernel, None
+        b = self.param(f"{name}_bias", nn.initializers.zeros, (d_out,))
+        return kernel, b
+
+    def _ln_params(self, name: str, d: int):
+        scale = self.param(f"{name}_scale", nn.initializers.ones, (d,))
+        bias = self.param(f"{name}_bias", nn.initializers.zeros, (d,))
+        return scale, bias
+
+    @nn.compact
+    def __call__(
+        self,
+        audio: jnp.ndarray,  # (B, S) float waveform @ 16 kHz
+        one_hot: jnp.ndarray,  # (B, n_onehot)
+        template: jnp.ndarray,  # (B, V, 3)
+        lengths: Optional[jnp.ndarray] = None,  # (B,) valid sample counts
+        *,
+        train: bool = False,
+        use_pallas: Optional[bool] = None,
+    ):
+        """Returns (B, T, V, 3) vertices with T = frame_count(S), plus a
+        (B, T) frame validity mask when ``lengths`` is given."""
+        d = FEATURE_DIM
+        bsz, n_samples = audio.shape
+        n_frames = frame_count(n_samples)
+
+        # ---- encoder ----------------------------------------------------
+        # Wav2Vec2Processor normalization stays on-chip (reference does a
+        # host numpy round-trip, faceformer.py:142-144)
+        if lengths is None:
+            norm_audio = wav2vec2_zero_mean_unit_var(audio)
+        else:
+            valid = (jnp.arange(n_samples)[None, :] < lengths[:, None]).astype(jnp.float32)
+            n = jnp.maximum(lengths.astype(jnp.float32), 1.0)[:, None]
+            mean = jnp.sum(audio * valid, axis=1, keepdims=True) / n
+            var = jnp.sum(jnp.square(audio - mean) * valid, axis=1, keepdims=True) / n
+            norm_audio = (audio - mean) / jnp.sqrt(var + 1e-7) * valid
+
+        frame_lengths = None if lengths is None else lengths * FPS // AUDIO_SR
+        hidden = Wav2Vec2Encoder(Wav2Vec2Config(), dtype=self.dtype, name="audio_encoder")(
+            norm_audio, output_len=n_frames, lengths=lengths,
+            output_lengths=frame_lengths,
+            train=train, apply_spec_augment=train, use_pallas=use_pallas,
+        )  # (B, T, 768)
+
+        afm_k, afm_b = self._dense_params("audio_feature_map", 768, d)
+        memory = hidden @ afm_k + afm_b  # (B, T, 64)
+
+        # ---- decoder params ---------------------------------------------
+        obj_k, _ = self._dense_params("obj_vector", self.n_onehot, d, bias=False)
+        vm_k, vm_b = self._dense_params("vertice_map", self.n_verts, d, zeros=True)
+        vmr_k, vmr_b = self._dense_params("vertice_map_r", d, self.n_verts, zeros=True)
+
+        q_k, q_b = self._dense_params("dec_q", d, d)
+        k_k, k_b = self._dense_params("dec_k", d, d)
+        v_k, v_b = self._dense_params("dec_v", d, d)
+        o_k, o_b = self._dense_params("dec_out", d, d)
+        cv_k, cv_b = self._dense_params("cross_v", d, d)
+        co_k, co_b = self._dense_params("cross_out", d, d)
+        f1_k, f1_b = self._dense_params("linear1", d, 2 * d)
+        f2_k, f2_b = self._dense_params("linear2", 2 * d, d)
+        ln1 = self._ln_params("norm1", d)
+        ln2 = self._ln_params("norm2", d)
+        ln3 = self._ln_params("norm3", d)
+
+        compute_dtype = self.dtype or jnp.float32
+
+        def layer_norm(x, scale_bias):
+            scale, bias = scale_bias
+            x32 = x.astype(jnp.float32)
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            return ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias).astype(x.dtype)
+
+        # cross attention hoisted out of the scan: diagonal mask => weight-1
+        # softmax over memory[t] only (see module docstring)
+        cross = (memory @ cv_k + cv_b) @ co_k + co_b  # (B, T, 64)
+
+        # composed 64x64 feedback: vertice_map(vertice_map_r(h)) =
+        # h @ (Wr @ Wm) + (br @ Wm + bm)
+        fb_k = vmr_k @ vm_k
+        fb_b = vmr_b @ vm_k + vm_b
+
+        style = (one_hot @ obj_k).astype(compute_dtype)  # (B, 64)
+        pe = jnp.asarray(periodic_positional_encoding(), dtype=compute_dtype)
+
+        hd = d // N_HEADS
+        cache_shape = (bsz, N_HEADS, n_frames, hd)
+
+        dropout_rng = self.make_rng("dropout") if train else None
+
+        def drop(rng, x, p=0.1):
+            keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
+            return jnp.where(keep, x / (1.0 - p), 0.0)
+
+        def step(carry, xt):
+            emb, k_cache, v_cache = carry
+            t, step_rng = xt
+            x = emb + pe[t % PERIOD]  # (B, 64)
+            if train:
+                r = jax.random.split(step_rng, 5)
+                x = drop(r[0], x)  # PPE dropout (faceformer.py:72,86-88)
+
+            q = (x @ q_k + q_b).reshape(bsz, N_HEADS, hd)
+            k = (x @ k_k + k_b).reshape(bsz, N_HEADS, hd)
+            v = (x @ v_k + v_b).reshape(bsz, N_HEADS, hd)
+            k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k, t, axis=2)
+            v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v, t, axis=2)
+
+            attn = decode_step_attention(q, k_cache, v_cache, t, alibi_period=PERIOD)
+            sa = attn.reshape(bsz, d) @ o_k + o_b
+            if train:
+                sa = drop(r[1], sa)  # torch decoder-layer dropout1
+            h = layer_norm(x + sa, ln1)
+            # cross term is indexed from the precomputed projection
+            ca = jax.lax.dynamic_index_in_dim(cross, t, axis=1, keepdims=False)
+            if train:
+                ca = drop(r[2], ca)  # dropout2
+            h = layer_norm(h + ca, ln2)
+            ff = jnp.maximum(h @ f1_k + f1_b, 0.0)
+            if train:
+                ff = drop(r[3], ff)  # FFN inner dropout
+            ff = ff @ f2_k + f2_b
+            if train:
+                ff = drop(r[4], ff)  # dropout3
+            h = layer_norm(h + ff, ln3)
+
+            emb_next = h @ fb_k + fb_b + style
+            return (emb_next, k_cache, v_cache), h
+
+        if train and self.remat_scan:
+            step = jax.checkpoint(step)
+
+        init = (
+            style,  # emb_0 = obj embedding (faceformer.py:156-157)
+            jnp.zeros(cache_shape, compute_dtype),
+            jnp.zeros(cache_shape, compute_dtype),
+        )
+        ts = jnp.arange(n_frames)
+        if train:
+            step_rngs = jax.random.split(dropout_rng, n_frames)
+        else:
+            step_rngs = jnp.zeros((n_frames, 2), jnp.uint32)
+        (_, _, _), hs = jax.lax.scan(step, init, (ts, step_rngs))
+        hs = jnp.swapaxes(hs, 0, 1)  # (B, T, 64)
+
+        # vertex head as one big MXU matmul after the scan
+        verts = (hs.reshape(-1, d) @ vmr_k + vmr_b).reshape(bsz, n_frames, -1)
+        verts = verts.astype(jnp.float32) + template.reshape(bsz, 1, -1)
+        verts = verts.reshape(bsz, n_frames, -1, 3)
+
+        if lengths is not None:
+            frame_mask = (jnp.arange(n_frames)[None, :] < frame_lengths[:, None]).astype(jnp.float32)
+            return verts, frame_mask
+        return verts

@@ -1,0 +1,307 @@
+"""wav2vec2-base encoder in Flax, with the FaceFormer fps adapter.
+
+A from-scratch JAX implementation of the HF wav2vec2-base architecture the
+reference depends on (facebook/wav2vec2-base-960h), covering exactly the
+pipeline the reference's patched model runs (src/model/wav2vec.py:91-189):
+
+  conv feature encoder (7 layers, group-norm first, GELU)
+  -> [vocaset fps adapter: align_corners linear interp 50 fps -> frame_num,
+      src/model/wav2vec.py:76-84,125-128]
+  -> feature projection (LayerNorm + 512->768)
+  -> [SpecAugment time masking when training, src/model/wav2vec.py:149-162]
+  -> grouped positional conv embedding (k=128, 16 groups, weight-normed)
+  -> 12 post-LN transformer layers (768 d, 12 heads, 3072 ffn, exact GELU)
+
+TPU-native notes: the conv encoder runs as NHC ``lax.conv_general_dilated``
+(MXU); self-attention goes through the Pallas flash kernel on TPU
+(ops/attention.py) so long feature sequences never materialize (T, T) scores
+in HBM; all shapes are static under jit (frame_num is a compile-time bucket).
+
+Weights convert from the PyTorch checkpoint via
+``audio2face_tpu.compat.wav2vec2_convert.convert_wav2vec2``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from audio2face_tpu.ops.attention import flash_attention
+from audio2face_tpu.ops.dsp import interp_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    """Architecture hyperparameters (defaults = wav2vec2-base-960h)."""
+
+    conv_dim: tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-5
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_time_min_masks: int = 2
+
+    def feat_extract_output_length(self, input_length: int) -> int:
+        length = input_length
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            length = (length - k) // s + 1
+        return length
+
+
+class MaskedGroupNorm(nn.Module):
+    """Per-channel normalization over time with optional length masking.
+
+    With ``feat_lengths=None`` this equals HF's GroupNorm(groups=channels).
+    With lengths, statistics use only valid positions — wav2vec2-base's group
+    norm is otherwise padding-sensitive (the whole sequence shifts when a
+    batch is padded), which is why the reference is stuck at batch_size=1
+    for faceformer; masked stats make padded batching exact on the prefix.
+    """
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, h, feat_lengths=None):  # h: (B, T, C)
+        c = h.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        h32 = h.astype(jnp.float32)
+        if feat_lengths is None:
+            mean = jnp.mean(h32, axis=1, keepdims=True)
+            var = jnp.var(h32, axis=1, keepdims=True)
+        else:
+            valid = (
+                jnp.arange(h.shape[1])[None, :] < feat_lengths[:, None]
+            ).astype(jnp.float32)[..., None]
+            n = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(h32 * valid, axis=1, keepdims=True) / n
+            var = jnp.sum(jnp.square(h32 - mean) * valid, axis=1, keepdims=True) / n
+        out = (h32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = out * scale + bias
+        return out.astype(h.dtype)
+
+
+class FeatureEncoder(nn.Module):
+    """Raw waveform -> (B, T50, 512) latents at ~50 fps."""
+
+    config: Wav2Vec2Config
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, lengths=None):  # x: (B, L)
+        cfg = self.config
+        h = x[:, :, None].astype(self.dtype or jnp.float32)  # NHC
+        feat_lengths = lengths
+        for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
+            h = nn.Conv(
+                dim, (k,), strides=(s,), padding="VALID", use_bias=cfg.conv_bias,
+                dtype=self.dtype, name=f"conv{i}",
+            )(h)
+            if feat_lengths is not None:
+                feat_lengths = (feat_lengths - k) // s + 1
+            if i == 0:
+                h = MaskedGroupNorm(
+                    epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="group_norm"
+                )(h, feat_lengths)
+            h = jax.nn.gelu(h, approximate=False)
+        return h
+
+
+class FeatureProjection(nn.Module):
+    config: Wav2Vec2Config
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        cfg = self.config
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="projection")(x)
+        if train:
+            x = nn.Dropout(0.1, deterministic=False)(x)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv relative positional embedding (k=128, groups=16).
+
+    The PyTorch layer is weight-normed; conversion folds g*v/||v|| into a
+    plain kernel, which is numerically identical at inference and a cleaner
+    parameterization for XLA.
+    """
+
+    config: Wav2Vec2Config
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C)
+        cfg = self.config
+        k = cfg.pos_conv_kernel
+        pad = k // 2
+        h = nn.Conv(
+            cfg.hidden_size, (k,), strides=(1,), padding=[(pad, pad)],
+            feature_group_count=cfg.pos_conv_groups, dtype=self.dtype, name="conv",
+        )(x)
+        if k % 2 == 0:
+            h = h[:, :-1]  # HF SamePadLayer removes the extra step for even k
+        return jax.nn.gelu(h, approximate=False)
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer layer (do_stable_layer_norm=False, base config)."""
+
+    config: Wav2Vec2Config
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, kv_lengths=None, *, train: bool = False, use_pallas=None):
+        cfg = self.config
+        d = cfg.hidden_size
+        nh = cfg.num_heads
+        hd = d // nh
+
+        residual = x
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
+
+        def split_heads(t):
+            b, s, _ = t.shape
+            return t.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+
+        attn = flash_attention(
+            split_heads(q), split_heads(k), split_heads(v),
+            kv_lengths=kv_lengths, use_pallas=use_pallas,
+        )
+        b, _, s, _ = attn.shape
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+        attn = nn.Dense(d, dtype=self.dtype, name="out_proj")(attn)
+        if train:
+            attn = nn.Dropout(0.1, deterministic=False)(attn)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(
+            residual + attn
+        )
+
+        ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        ff = jax.nn.gelu(ff, approximate=False)
+        if train:
+            ff = nn.Dropout(0.1, deterministic=False)(ff)
+        ff = nn.Dense(d, dtype=self.dtype, name="output_dense")(ff)
+        if train:
+            ff = nn.Dropout(0.1, deterministic=False)(ff)
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"
+        )(x + ff)
+
+
+def compute_spec_augment_mask(
+    rng: jax.Array, batch: int, seq_len: int, cfg: Wav2Vec2Config
+) -> jnp.ndarray:
+    """SpecAugment time-mask (B, T) boolean, jit-friendly equivalent of the
+    reference's numpy ``_compute_mask_indices`` (src/model/wav2vec.py:25-72):
+    ~mask_prob fraction of steps masked in spans of mask_time_length, at
+    least min_masks spans."""
+    num_masks = max(
+        cfg.mask_time_min_masks,
+        int(cfg.mask_time_prob * seq_len / cfg.mask_time_length + 0.5),
+    )
+    starts = jax.random.randint(
+        rng, (batch, num_masks), 0, max(seq_len - cfg.mask_time_length, 1)
+    )
+    positions = starts[..., None] + jnp.arange(cfg.mask_time_length)  # (B, M, L)
+    t = jnp.arange(seq_len)
+    return (positions[..., None] == t).any(axis=(1, 2))
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Full encoder: waveform -> (B, T, 768) hidden states.
+
+    ``output_len`` activates the reference's vocaset fps adapter (linear
+    interp of the 50 fps conv latents to frame_num; src/model/wav2vec.py:
+    125-128). ``lengths`` optionally provides per-item valid *sample* counts
+    for padded batches (a capability the bs=1 reference lacks).
+    """
+
+    config: Wav2Vec2Config = Wav2Vec2Config()
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        input_values: jnp.ndarray,  # (B, L)
+        output_len: Optional[int] = None,
+        lengths: Optional[jnp.ndarray] = None,
+        output_lengths: Optional[jnp.ndarray] = None,
+        *,
+        train: bool = False,
+        apply_spec_augment: bool = False,
+        use_pallas: Optional[bool] = None,
+    ):
+        cfg = self.config
+        h = FeatureEncoder(cfg, dtype=self.dtype, name="feature_encoder")(
+            input_values, lengths
+        )
+
+        feat_lengths = None
+        if lengths is not None:
+            feat_lengths = lengths
+            for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+                feat_lengths = (feat_lengths - k) // s + 1
+
+        if output_len is not None:
+            if lengths is None:
+                h = interp_linear(h, output_len, axis=1, align_corners=True)
+            else:
+                # per-item frame count: frame_num = samples * 60 // 16000
+                # semantics generalized — the caller supplies output frames
+                # proportional to output_len over the padded bucket
+                from audio2face_tpu.ops.dsp import interp_linear_per_item
+
+                if output_lengths is None:
+                    output_lengths = (
+                        lengths.astype(jnp.int64) * output_len // input_values.shape[1]
+                    ).astype(jnp.int32)
+                h = interp_linear_per_item(h, output_len, feat_lengths, output_lengths)
+                feat_lengths = output_lengths
+
+        h = FeatureProjection(cfg, dtype=self.dtype, name="feature_projection")(h, train=train)
+
+        # created unconditionally so the param tree is identical in train/eval
+        masked_embed = self.param(
+            "masked_spec_embed",
+            nn.initializers.uniform(scale=1.0),
+            (cfg.hidden_size,),
+        )
+        if train and apply_spec_augment and cfg.mask_time_prob > 0:
+            mask = compute_spec_augment_mask(
+                self.make_rng("spec_augment"), h.shape[0], h.shape[1], cfg
+            )
+            h = jnp.where(mask[..., None], masked_embed.astype(h.dtype), h)
+
+        if feat_lengths is not None:
+            # zero padded positions before the (global) positional conv
+            valid = jnp.arange(h.shape[1])[None, :] < feat_lengths[:, None]
+            h = h * valid[..., None].astype(h.dtype)
+
+        h = h + PositionalConvEmbedding(cfg, dtype=self.dtype, name="pos_conv_embed")(h)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(h)
+        if train:
+            h = nn.Dropout(0.1, deterministic=False)(h)
+
+        for i in range(cfg.num_layers):
+            h = EncoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
+                h, kv_lengths=feat_lengths, train=train, use_pallas=use_pallas
+            )
+        return h

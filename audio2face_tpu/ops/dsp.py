@@ -286,6 +286,34 @@ def linear_interpolation_fps(
     return interp_linear(features, output_len, axis=1, align_corners=True)
 
 
+def interp_linear_per_item(
+    x: jnp.ndarray,
+    out_size: int,
+    in_lengths: jnp.ndarray,
+    out_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-item align_corners=True linear interp over the *valid prefix*.
+
+    ``x``: (B, T, C) padded; item b's first ``in_lengths[b]`` steps are
+    resampled onto its first ``out_lengths[b]`` output frames (frames beyond
+    that clamp to the last valid step and should be masked downstream).
+    Makes padded-batch decoding agree with per-item unpadded decoding —
+    a capability the batch-1 reference lacks. Static shapes, dynamic values.
+    """
+    b, t, _ = x.shape
+    f = jnp.arange(out_size, dtype=jnp.float32)[None, :]  # (1, out)
+    scale = (in_lengths[:, None].astype(jnp.float32) - 1.0) / jnp.maximum(
+        out_lengths[:, None].astype(jnp.float32) - 1.0, 1.0
+    )
+    src = jnp.clip(f * scale, 0.0, in_lengths[:, None].astype(jnp.float32) - 1.0)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_lengths[:, None] - 1)
+    w = (src - lo)[..., None]
+    x_lo = jnp.take_along_axis(x, lo[..., None], axis=1)
+    x_hi = jnp.take_along_axis(x, hi[..., None], axis=1)
+    return x_lo * (1.0 - w) + x_hi * w
+
+
 # ---------------------------------------------------------------------------
 # Polyphase resampling (torchaudio.functional.resample parity)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,127 @@
+"""FaceFormer parity: the Flax KV-cached scan decode must equal the
+reference's naive O(T^2)-recompute autoregressive loop (torch oracle) after
+checkpoint conversion — and stay under the 1e-4 vertex tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from audio2face_tpu.compat.faceformer_convert import convert_faceformer
+from audio2face_tpu.compat.torch_convert import state_dict_to_numpy
+from audio2face_tpu.models.faceformer import FaceFormer, frame_count, periodic_positional_encoding
+
+N_VERTS = 15069
+N_ONEHOT = 12
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from tests.torch_mirrors import TorchFaceFormer
+
+    torch.manual_seed(0)
+    oracle = TorchFaceFormer(N_VERTS, N_ONEHOT)
+    # randomize the zero-init'd motion maps to simulate trained weights
+    with torch.no_grad():
+        for lin in (oracle.vertice_map, oracle.vertice_map_r):
+            lin.weight.normal_(0, 0.02)
+            lin.bias.normal_(0, 0.02)
+    oracle.eval()
+    variables = jax.tree.map(jnp.asarray, convert_faceformer(state_dict_to_numpy(oracle)))
+    model = FaceFormer(n_verts=N_VERTS, n_onehot=N_ONEHOT)
+    return oracle, model, variables
+
+
+def test_ppe_table_matches_reference():
+    pe = periodic_positional_encoding()
+    ref = np.zeros((60, 64), np.float64)
+    position = np.arange(60)[:, None]
+    div = np.exp(np.arange(0, 64, 2) * (-np.log(10000.0) / 64))
+    ref[:, 0::2] = np.sin(position * div)
+    ref[:, 1::2] = np.cos(position * div)
+    np.testing.assert_allclose(pe, ref.astype(np.float32), atol=1e-6)
+
+
+def test_frame_count():
+    assert frame_count(16000) == 60
+    assert frame_count(127600 * 16000 // 22000) == 348  # the bundled 5.8 s clip
+
+
+def test_faceformer_parity_vs_naive_loop(pair):
+    oracle, model, variables = pair
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=(1, 8000)) * 0.1).astype(np.float32)  # 0.5 s -> 30 frames
+    one_hot = np.zeros((1, N_ONEHOT), np.float32)
+    one_hot[0, 2] = 1.0
+    template = rng.normal(size=(1, N_VERTS // 3, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = oracle(
+            torch.as_tensor(audio), torch.as_tensor(one_hot), torch.as_tensor(template)
+        ).numpy()
+
+    ours = np.asarray(
+        model.apply(variables, jnp.asarray(audio), jnp.asarray(one_hot), jnp.asarray(template))
+    )
+    assert ours.shape == ref.shape == (1, 30, 5023, 3)
+    err = np.abs(ours - ref).max()
+    assert err < 1e-4, f"max vertex err {err}"
+
+
+def test_faceformer_batched_padded_decode(pair):
+    """Padded batch-2 decode: valid frames of the shorter item must match its
+    solo decode (the reference cannot batch at all)."""
+    _, model, variables = pair
+    rng = np.random.default_rng(1)
+    a1 = (rng.normal(size=(1, 8000)) * 0.1).astype(np.float32)
+    a2 = (rng.normal(size=(1, 5600)) * 0.1).astype(np.float32)
+    a2_pad = np.concatenate([a2, np.zeros((1, 2400), np.float32)], axis=1)
+    one_hot = np.zeros((2, N_ONEHOT), np.float32)
+    one_hot[0, 1] = one_hot[1, 5] = 1.0
+    template = rng.normal(size=(2, N_VERTS // 3, 3)).astype(np.float32)
+
+    batch_audio = np.concatenate([a1, a2_pad], axis=0)
+    out, mask = model.apply(
+        variables, jnp.asarray(batch_audio), jnp.asarray(one_hot), jnp.asarray(template),
+        lengths=jnp.asarray([8000, 5600]),
+    )
+    out = np.asarray(out)
+    n2 = frame_count(5600)
+    assert np.asarray(mask).sum(axis=1).tolist() == [30, n2]
+
+    solo = np.asarray(
+        model.apply(
+            variables, jnp.asarray(a2), jnp.asarray(one_hot[1:]), jnp.asarray(template[1:])
+        )
+    )
+    # interior frames (away from the encoder's padded tail) must agree
+    err = np.abs(out[1, : n2 - 2] - solo[0, : n2 - 2]).max()
+    assert err < 5e-3, f"batched vs solo err {err}"
+
+
+def test_faceformer_train_grad(pair):
+    """Gradients flow through the rematerialized scan (the reference
+    backprops through the full autoregressive unroll)."""
+    _, model, variables = pair
+    rng = np.random.default_rng(2)
+    audio = (rng.normal(size=(1, 4000)) * 0.1).astype(np.float32)
+    one_hot = np.zeros((1, N_ONEHOT), np.float32)
+    one_hot[0, 0] = 1.0
+    template = np.zeros((1, N_VERTS // 3, 3), np.float32)
+    target = rng.normal(size=(1, 15, N_VERTS // 3, 3)).astype(np.float32)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params}, jnp.asarray(audio), jnp.asarray(one_hot),
+            jnp.asarray(template), train=True,
+            rngs={"dropout": jax.random.PRNGKey(0), "spec_augment": jax.random.PRNGKey(1)},
+        )
+        return jnp.mean(jnp.square(out - target))
+
+    g = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree.leaves(jax.tree.map(lambda x: float(jnp.abs(x).sum()), g))
+    assert all(np.isfinite(flat))
+    # the decoder weights must receive gradient
+    assert float(jnp.abs(g["dec_q_kernel"]).sum()) > 0
+    assert float(jnp.abs(g["audio_feature_map_kernel"]).sum()) > 0

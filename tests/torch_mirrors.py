@@ -84,6 +84,99 @@ class TorchVoca(nn.Module):
         return out.view(bs, -1, 3) + template
 
 
+class TorchFaceFormer(nn.Module):
+    """Oracle for the reference FaceFormer forward (src/model/faceformer.py:
+    91-188): HF wav2vec2 + 50fps->frame_num interp, then the naive
+    autoregressive loop that re-decodes the full prefix each frame through a
+    torch TransformerDecoder with the precomputed biased mask and diagonal
+    cross mask. Deliberately the O(T^2)-recompute formulation — the Flax scan
+    must match it exactly."""
+
+    def __init__(self, n_verts: int, n_onehot: int, max_seq_len: int = 600):
+        super().__init__()
+        from transformers import Wav2Vec2Config as HFConfig
+        from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model as HFModel
+
+        self.feature_dim = 64
+        self.period = 60
+        self.vertice_dim = n_verts
+        self.audio_encoder = HFModel(HFConfig(do_stable_layer_norm=False, feat_extract_norm="group"))
+        self.audio_feature_map = nn.Linear(768, 64)
+        self.vertice_map = nn.Linear(n_verts, 64)
+        self.vertice_map_r = nn.Linear(64, n_verts)
+        self.obj_vector = nn.Linear(n_onehot, 64, bias=False)
+        dec_layer = nn.TransformerDecoderLayer(
+            d_model=64, nhead=4, dim_feedforward=128, batch_first=True
+        )
+        self.transformer_decoder = nn.TransformerDecoder(dec_layer, num_layers=1)
+        self.max_seq_len = max_seq_len
+
+        # precomputed biased causal mask, reference semantics
+        from audio2face_tpu.ops.attention import alibi_slopes
+        import numpy as _np
+
+        slopes = torch.as_tensor(_np.asarray(alibi_slopes(4)))
+        i = torch.arange(max_seq_len)[:, None]
+        j = torch.arange(max_seq_len)[None, :]
+        alibi = torch.where(j <= i, -torch.div(i - j, self.period, rounding_mode="floor").float(), torch.zeros(()))
+        causal = torch.where(j <= i, torch.zeros(()), torch.full((), float("-inf")))
+        self.register_buffer("biased_mask", slopes[:, None, None] * alibi[None] + causal[None])
+
+        pe = torch.zeros(self.period, 64)
+        position = torch.arange(0, self.period, dtype=torch.float).unsqueeze(1)
+        import math as _math
+
+        div_term = torch.exp(torch.arange(0, 64, 2).float() * (-_math.log(10000.0) / 64))
+        pe[:, 0::2] = torch.sin(position * div_term)
+        pe[:, 1::2] = torch.cos(position * div_term)
+        self.register_buffer("ppe", pe)
+
+    def _ppe(self, x):
+        t = x.shape[1]
+        reps = (t + self.period - 1) // self.period
+        table = self.ppe.repeat(reps, 1)[:t]
+        return x + table.unsqueeze(0)
+
+    def forward(self, audio, one_hot, template):
+        frame_num = audio.shape[1] * 60 // 16000
+        # processor zero-mean unit-var normalization
+        audio = (audio - audio.mean(dim=1, keepdim=True)) / torch.sqrt(
+            audio.var(dim=1, unbiased=False, keepdim=True) + 1e-7
+        )
+        template = template.reshape(1, 1, -1)
+
+        h = self.audio_encoder.feature_extractor(audio).transpose(1, 2)
+        h = nn.functional.interpolate(
+            h.transpose(1, 2), size=frame_num, align_corners=True, mode="linear"
+        ).transpose(1, 2)
+        h, _ = self.audio_encoder.feature_projection(h)
+        hidden_states = self.audio_encoder.encoder(h).last_hidden_state
+        hidden_states = self.audio_feature_map(hidden_states)
+
+        obj_embedding = self.obj_vector(one_hot)
+        for i in range(frame_num):
+            if i == 0:
+                vertice_emb = obj_embedding.unsqueeze(1)
+                style_emb = vertice_emb
+                vertice_input = self._ppe(style_emb)
+            else:
+                vertice_input = self._ppe(vertice_emb)
+            t = vertice_input.shape[1]
+            tgt_mask = self.biased_mask[:, :t, :t]
+            memory_mask = torch.ones(t, hidden_states.shape[1], dtype=torch.bool)
+            for r in range(t):
+                memory_mask[r, r] = False
+            out = self.transformer_decoder(
+                vertice_input, hidden_states, tgt_mask=tgt_mask, memory_mask=memory_mask
+            )
+            vertice_out = self.vertice_map_r(out)
+            new_output = self.vertice_map(vertice_out[:, -1, :]).unsqueeze(1) + style_emb
+            vertice_emb = torch.cat((vertice_emb, new_output), 1)
+
+        vertice_out = vertice_out + template
+        return vertice_out.view(1, frame_num, -1, 3)
+
+
 class TorchSong2Face(nn.Module):
     def __init__(self, n_verts: int, n_onehot: int):
         super().__init__()
