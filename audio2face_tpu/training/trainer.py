@@ -1,0 +1,374 @@
+"""Experiment runtime: jit'd training loop, checkpointing, early stopping.
+
+Replaces the reference's LightningModule + Trainer stack
+(src/model/lightning_model.py:76-246, train.py:48-76) with a functional JAX
+loop, preserving its observable semantics:
+
+- x100 vertex/template unit scaling before the model, /100 on predictions
+  (lightning_model.py:145-148, 215-225);
+- feature extractor output detached (lightning_model.py:115 — here
+  ``stop_gradient`` inside the fused graph);
+- torch-Adam optimizer with coupled weight decay lr/10
+  (lightning_model.py:209-213): ``add_decayed_weights -> scale_by_adam ->
+  -lr`` — decay applied to the gradient *before* the moment updates, exactly
+  torch's ``Adam(weight_decay=...)``;
+- "err" metric = mean over items of mean squared difference over the
+  flattened vertex vector (lightning_model.py:119-125);
+- per-epoch train/val err logging, best-checkpoint selection and early
+  stopping on val/err with patience 5 (train.py:53-54);
+- bf16 compute policy when the config requests "16-mixed" (train.py:48-50),
+  with f32 params and optimizer state.
+
+TPU-native: one jit'd train step (extractor fused in), donated state,
+pjit/GSPMD data parallelism over the mesh's ``data`` axis, orbax
+checkpoints, optional jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from audio2face_tpu.config import ExpConfig
+from audio2face_tpu.losses import masked_faceformer_loss, mse_error
+from audio2face_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from audio2face_tpu.registry import get_extractor, get_loss_fn, get_model
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def torch_adam(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) — coupled decay before moments."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
+
+
+@dataclass
+class FitResult:
+    best_val_err: float
+    best_epoch: int
+    epochs_run: int
+    history: list[dict] = field(default_factory=list)
+
+
+class Audio2FaceExperiment:
+    """Owns extractor + model + loss + optimizer + mesh (L4 equivalent)."""
+
+    def __init__(self, config: ExpConfig, mesh=None, log_dir: Optional[str] = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh(config.mesh_shape)
+        self.log_dir = log_dir or os.path.join("logs", config.name())
+        self.is_faceformer = config.modelname == "faceformer"
+
+        dtype = jnp.bfloat16 if config.bf16_compute else None
+        model_cls = get_model(config.modelname)
+        self.model = model_cls(
+            n_verts=config.vertex_count, n_onehot=config.one_hot_size, dtype=dtype
+        )
+        fe_factory = get_extractor(config.feature_extractor)
+        self.feature_extractor = fe_factory(
+            sample_rate=config.sample_rate,
+            n_feature=config.n_feature,
+            out_dim=config.out_dim,
+            win_length=config.win_length,
+            hop_length=config.hop_length,
+            n_fft=1024,
+        )
+        self.loss_fn = get_loss_fn(config.modelname)
+        self.lr = config.lr
+        self.tx = torch_adam(config.lr, config.lr / 10.0)
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+
+    def init_state(self, batch: dict, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.config.seed if seed is None else seed)
+        x, one_hot, _, template, _ = self._unpack(
+            jax.tree.map(jnp.asarray, batch)
+        )
+        feats = self._features(x)
+        variables = self.model.init(
+            {"params": rng}, feats, one_hot, template,
+            **self._model_kwargs(batch, train=False),
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        return replicate(self.mesh, state)
+
+    def load_torch_checkpoint(self, state: TrainState, path: str) -> TrainState:
+        """Swap in converted reference weights (BASELINE parity path)."""
+        from audio2face_tpu.compat.torch_convert import convert_state_dict, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+        variables = convert_state_dict(self.config.modelname, sd)
+        params = jax.tree.map(jnp.asarray, variables["params"])
+        batch_stats = jax.tree.map(jnp.asarray, variables.get("batch_stats", {}))
+        return state.replace(
+            params=replicate(self.mesh, params),
+            batch_stats=replicate(self.mesh, batch_stats),
+            opt_state=self.tx.init(params),
+        )
+
+    # ------------------------------------------------------------------
+    # step functions
+    # ------------------------------------------------------------------
+
+    def _unpack(self, batch: dict):
+        """x100 scaling + field split (lightning_model.py:145-148)."""
+        verts = batch["verts"] * 100.0
+        template = batch["template_vert"] * 100.0
+        lengths = batch.get("audio_lengths")
+        return batch["audio"], batch["one_hot"], verts, template, lengths
+
+    def _features(self, x):
+        if self.feature_extractor is None:
+            return x
+        return self.feature_extractor(x)
+
+    def _model_kwargs(self, batch: dict, train: bool) -> dict:
+        kwargs: dict = {}
+        if self.is_faceformer and "audio_lengths" in batch:
+            kwargs["lengths"] = batch["audio_lengths"]
+        return kwargs
+
+    def _apply(self, params, batch_stats, batch, train: bool, rngs=None):
+        x, one_hot, verts, template, lengths = self._unpack(batch)
+        feats = self._features(x)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = {}
+        if self.is_faceformer and lengths is not None:
+            kwargs["lengths"] = lengths
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        out = self.model.apply(
+            variables, feats, one_hot, template, train=train,
+            rngs=rngs, mutable=mutable, **kwargs,
+        )
+        new_stats = batch_stats
+        if mutable:
+            out, updates = out
+            new_stats = updates["batch_stats"]
+        if self.is_faceformer and lengths is not None:
+            pred, frame_mask = out
+        else:
+            pred, frame_mask = out, None
+        return pred, frame_mask, new_stats, verts
+
+    def _compute_loss(self, pred, verts, frame_mask):
+        if self.is_faceformer:
+            gt = verts.reshape(pred.shape)
+            if frame_mask is not None:
+                return masked_faceformer_loss(pred, gt, frame_mask)
+            return self.loss_fn(pred, gt)
+        return self.loss_fn(pred, verts)
+
+    def train_step(self, state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        key = ("train", self._batch_signature(batch))
+        if key not in self._jit_cache:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def _step(state, batch, rng):
+                rngs = {"dropout": rng, "spec_augment": jax.random.fold_in(rng, 1)}
+
+                def loss_fn(params):
+                    pred, fmask, new_stats, verts = self._apply(
+                        params, state.batch_stats, batch, train=True, rngs=rngs
+                    )
+                    loss = self._compute_loss(pred, verts, fmask)
+                    err = mse_error(pred, verts, self.config.vertex_count // 3)
+                    return loss["loss"], (loss, err, new_stats)
+
+                (_, (loss, err, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(
+                    step=state.step + 1, params=params,
+                    batch_stats=new_stats, opt_state=opt_state,
+                )
+                metrics = dict(loss, err=err)
+                return new_state, metrics
+
+            self._jit_cache[key] = _step
+        batch = shard_batch(self.mesh, batch)
+        return self._jit_cache[key](state, batch, rng)
+
+    def eval_step(self, state: TrainState, batch: dict) -> dict:
+        key = ("eval", self._batch_signature(batch))
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def _step(state, batch):
+                pred, fmask, _, verts = self._apply(
+                    state.params, state.batch_stats, batch, train=False
+                )
+                loss = self._compute_loss(pred, verts, fmask)
+                err = mse_error(pred, verts, self.config.vertex_count // 3)
+                return dict(loss, err=err)
+
+            self._jit_cache[key] = _step
+        batch = shard_batch(self.mesh, batch)
+        return self._jit_cache[key](state, batch)
+
+    def predict(self, state: TrainState, batch: dict):
+        """Predicted vertices in data units (/100, lightning_model.py:215-225)
+        plus the err metric against ground truth."""
+        key = ("predict", self._batch_signature(batch))
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def _step(state, batch):
+                pred, fmask, _, verts = self._apply(
+                    state.params, state.batch_stats, batch, train=False
+                )
+                err = mse_error(pred, verts, self.config.vertex_count // 3)
+                return pred / 100.0, err
+
+            self._jit_cache[key] = _step
+        batch = shard_batch(self.mesh, batch)
+        return self._jit_cache[key](state, batch)
+
+    def _batch_signature(self, batch: dict):
+        return tuple(sorted((k, np.shape(v)) for k, v in batch.items()))
+
+    # ------------------------------------------------------------------
+    # fit loop
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        datamodule,
+        state: Optional[TrainState] = None,
+        max_epochs: Optional[int] = None,
+        log_every: int = 10,
+        checkpoint: bool = True,
+    ) -> tuple[TrainState, FitResult]:
+        cfg = self.config
+        max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
+        os.makedirs(self.log_dir, exist_ok=True)
+        metrics_path = os.path.join(self.log_dir, "metrics.jsonl")
+
+        np_rng = np.random.default_rng(cfg.seed)
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        if state is None:
+            first = next(iter(datamodule.train_batches(np.random.default_rng(0))))
+            state = self.init_state(first)
+
+        best_val = float("inf")
+        best_epoch = -1
+        best_state = state
+        patience = cfg.early_stop_patience
+        bad_epochs = 0
+        history = []
+
+        with open(metrics_path, "a") as logf:
+            for epoch in range(max_epochs):
+                t0 = time.time()
+                train_errs, n_steps = [], 0
+                for batch in datamodule.train_batches(np_rng):
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = self.train_step(state, batch, step_rng)
+                    n_steps += 1
+                    if n_steps % log_every == 0:
+                        logf.write(json.dumps({
+                            "epoch": epoch, "step": int(state.step),
+                            **{k: float(v) for k, v in metrics.items()},
+                        }) + "\n")
+                    train_errs.append(metrics["err"])
+                train_err = float(np.mean([float(e) for e in train_errs])) if train_errs else float("nan")
+
+                val_errs = []
+                for batch in datamodule.val_batches():
+                    val_errs.append(float(self.eval_step(state, batch)["err"]))
+                val_err = float(np.mean(val_errs)) if val_errs else float("nan")
+
+                row = {
+                    "epoch": epoch, "train/err": train_err, "val/err": val_err,
+                    "seconds": time.time() - t0, "steps": n_steps,
+                }
+                history.append(row)
+                logf.write(json.dumps(row) + "\n")
+                logf.flush()
+                print(f"Epoch {epoch} train err: {train_err}")
+                print(f"Epoch {epoch} val error: {val_err}")
+
+                if val_err < best_val:
+                    best_val, best_epoch, bad_epochs = val_err, epoch, 0
+                    best_state = jax.tree.map(lambda x: np.asarray(x), state)
+                    if checkpoint:
+                        self.save_checkpoint(state, epoch)
+                else:
+                    bad_epochs += 1
+                    if bad_epochs >= patience:
+                        break
+
+        best_state = jax.tree.map(jnp.asarray, best_state)
+        best_state = replicate(self.mesh, best_state)
+        return best_state, FitResult(best_val, best_epoch, len(history), history)
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def _ckpt_dir(self) -> str:
+        return os.path.abspath(os.path.join(self.log_dir, "checkpoints"))
+
+    def save_checkpoint(self, state: TrainState, epoch: int) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(self._ckpt_dir(), f"epoch={epoch}-step={int(state.step)}")
+        ckpt = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        ocp.PyTreeCheckpointer().save(path, jax.tree.map(np.asarray, ckpt), force=True)
+        return path
+
+    def load_checkpoint(self, path: Optional[str] = None) -> TrainState:
+        """Load the newest checkpoint (sorted by the trailing step integer,
+        mirroring train.py:62-67) or an explicit path."""
+        import orbax.checkpoint as ocp
+
+        if path is None:
+            ckpts = os.listdir(self._ckpt_dir())
+            ckpts = sorted(ckpts, key=lambda x: int(x.split("=")[-1]))
+            path = os.path.join(self._ckpt_dir(), ckpts[-1])
+        restored = ocp.PyTreeCheckpointer().restore(path)
+        state = TrainState(
+            step=jnp.asarray(restored["step"]),
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", {}),
+            opt_state=restored["opt_state"],
+        )
+        return replicate(self.mesh, jax.tree.map(jnp.asarray, state))
