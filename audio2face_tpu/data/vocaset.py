@@ -333,6 +333,12 @@ class ClipVocaSet:
         per clip; the ±500-sample shift is applied when ``rng`` is given and
         this is the train phase, reference vocaset.py:254-257)."""
         rows = [self.datalist[i] for i in indices]
+        if not rows:
+            raise ValueError(
+                f"no frames selected from phase {self.phase!r} — check the "
+                "(subject, sentence) pair routes to this split (reference "
+                "split routing: vocaset.py:100-109)"
+            )
         n = len(rows)
         first_audio = self.raw_audio[rows[0][0]][rows[0][1]]
         sr = int(first_audio["sample_rate"])

@@ -156,12 +156,18 @@ class FaceFormer(nn.Module):
 
         # cross attention hoisted out of the scan: diagonal mask => weight-1
         # softmax over memory[t] only (see module docstring)
-        cross = (memory @ cv_k + cv_b) @ co_k + co_b  # (B, T, 64)
+        cross = ((memory @ cv_k + cv_b) @ co_k + co_b).astype(compute_dtype)  # (B, T, 64)
 
         # composed 64x64 feedback: vertice_map(vertice_map_r(h)) =
         # h @ (Wr @ Wm) + (br @ Wm + bm)
-        fb_k = vmr_k @ vm_k
-        fb_b = vmr_b @ vm_k + vm_b
+        fb_k = (vmr_k @ vm_k).astype(compute_dtype)
+        fb_b = (vmr_b @ vm_k + vm_b).astype(compute_dtype)
+
+        # decoder params in compute precision (params stay f32 in the tree)
+        q_k, q_b, k_k, k_b, v_k, v_b, o_k, o_b, f1_k, f1_b, f2_k, f2_b = (
+            p.astype(compute_dtype)
+            for p in (q_k, q_b, k_k, k_b, v_k, v_b, o_k, o_b, f1_k, f1_b, f2_k, f2_b)
+        )
 
         style = (one_hot @ obj_k).astype(compute_dtype)  # (B, 64)
         pe = jnp.asarray(periodic_positional_encoding(), dtype=compute_dtype)

@@ -60,9 +60,12 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 
     Per-item arrays shard on ``data``; scalars replicate.
     """
+    n_data = mesh.shape[DATA_AXIS]
+
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
+        if x.ndim == 0 or x.shape[0] % n_data != 0:
+            # odd-sized tails (e.g. the last val batch) replicate
             return jax.device_put(x, NamedSharding(mesh, P()))
         return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
 

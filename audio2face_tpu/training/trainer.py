@@ -107,7 +107,7 @@ class Audio2FaceExperiment:
             jax.tree.map(jnp.asarray, batch)
         )
         feats = self._features(x)
-        variables = self.model.init(
+        variables = jax.jit(self.model.init)(
             {"params": rng}, feats, one_hot, template,
             **self._model_kwargs(batch, train=False),
         )

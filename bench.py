@@ -1,0 +1,141 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline benchmark (BASELINE.md config #4 / north star): long-form streaming
+decode — 60 s of audio, batch of 8 speakers, full FaceFormer (wav2vec2-base
+encoder + KV-cached autoregressive scan, 5,023-vertex output) on one chip.
+
+value  = mesh frames/sec/chip (5023 verts, 60 fps animation clock)
+vs_baseline = real-time factor / 30 (target: >=30x faster than real time;
+the reference cannot run this config at all — it is hard-capped at 10 s and
+batch 1, and recomputes the full prefix every frame).
+
+Extra benchmarks behind --suite (frame models, attention kernel, renderer).
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio2face_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+FPS = 60
+SR = 16000
+N_VERTS = 15069
+N_ONEHOT = 12
+
+
+def _sync(x) -> float:
+    """Force completion with a host transfer — on the axon TPU tunnel,
+    block_until_ready can return before execution finishes; a scalar
+    device->host read cannot."""
+    return float(jnp.sum(x[..., :1, :].astype(jnp.float32)))
+
+
+def bench_faceformer_streaming(seconds: float = 60.0, batch: int = 8, bf16: bool = True):
+    from audio2face_tpu.models.faceformer import FaceFormer
+
+    n_samples = int(seconds * SR)
+    n_frames = n_samples * FPS // SR
+    dtype = jnp.bfloat16 if bf16 else None
+    model = FaceFormer(n_verts=N_VERTS, n_onehot=N_ONEHOT, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(batch, n_samples)).astype(np.float32) * 0.1)
+    one_hot = jnp.asarray(np.eye(N_ONEHOT, dtype=np.float32)[rng.integers(0, N_ONEHOT, batch)])
+    template = jnp.asarray(rng.normal(size=(batch, N_VERTS // 3, 3)).astype(np.float32))
+
+    init_audio = jnp.zeros((1, SR), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), init_audio, one_hot[:1], template[:1]
+    )
+
+    fwd = jax.jit(lambda v, a, o, t: model.apply(v, a, o, t))
+    _sync(fwd(variables, audio, one_hot, template))  # compile + warm
+
+    n_iters = 5
+    tic = time.perf_counter()
+    for _ in range(n_iters):
+        _sync(fwd(variables, audio, one_hot, template))
+    wall = (time.perf_counter() - tic) / n_iters
+
+    total_frames = batch * n_frames
+    frames_per_sec = total_frames / wall
+    rtf = (batch * seconds) / wall  # audio-seconds processed per wall-second
+    return {
+        "metric": "faceformer 60s batch-8 KV-cached decode, mesh frames/sec/chip (5023 verts)",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(rtf / 30.0, 3),
+        "detail": {
+            "wall_seconds_per_batch": round(wall, 4),
+            "real_time_factor": round(rtf, 1),
+            "batch": batch,
+            "clip_seconds": seconds,
+            "frames_per_clip": n_frames,
+            "backend": jax.default_backend(),
+            "bf16": bf16,
+        },
+    }
+
+
+def bench_audio2mesh(batch: int = 512):
+    from audio2face_tpu.models.audio2mesh import Audio2Mesh
+    from audio2face_tpu.models.extractor import MFCCExtractor
+
+    model = Audio2Mesh(n_verts=N_VERTS, n_onehot=N_ONEHOT, dtype=jnp.bfloat16)
+    fe = MFCCExtractor(22000, 32, 52, 440, None, 1024)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(batch, 11440)).astype(np.float32) * 0.1)
+    one_hot = jnp.asarray(np.eye(N_ONEHOT, dtype=np.float32)[rng.integers(0, N_ONEHOT, batch)])
+    template = jnp.asarray(rng.normal(size=(batch, N_VERTS // 3, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), fe(audio[:2]), one_hot[:2], template[:2])
+
+    fwd = jax.jit(lambda v, a, o, t: model.apply(v, fe(a), o, t))
+    _sync(fwd(variables, audio, one_hot, template))
+    n_iters = 10
+    tic = time.perf_counter()
+    for _ in range(n_iters):
+        _sync(fwd(variables, audio, one_hot, template))
+    wall = (time.perf_counter() - tic) / n_iters
+    fps = batch / wall
+    return {
+        "metric": "audio2mesh fused MFCC+conv forward, frames/sec/chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / FPS / 30.0, 3),
+        "detail": {"batch": batch, "wall_ms": round(wall * 1e3, 3)},
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--suite", action="store_true", help="run all benchmarks")
+    parser.add_argument("--seconds", type=float, default=60.0)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--f32", action="store_true")
+    args = parser.parse_args()
+
+    result = bench_faceformer_streaming(args.seconds, args.batch, bf16=not args.f32)
+    if args.suite:
+        extras = {"audio2mesh": bench_audio2mesh()}
+        result["detail"]["suite"] = extras
+    print(json.dumps({
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+    }))
+    import sys
+
+    print(json.dumps(result["detail"]), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from audio2face_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_tensor_parallel,
+    wav2vec2_param_spec,
+)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must force an 8-device CPU mesh"
+    m = make_mesh((-1, 1))
+    assert m.devices.shape == (8, 1)
+    m = make_mesh((4, 2))
+    assert m.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh((8, 1))
+    batch = {"audio": np.zeros((16, 100), np.float32), "one_hot": np.zeros((16, 12), np.float32)}
+    out = shard_batch(mesh, batch)
+    assert out["audio"].sharding.spec == P("data")
+
+
+def test_dp_training_step_matches_single_device():
+    """Gradient step on an 8-way data-parallel mesh == single-device step."""
+    mesh = make_mesh((8, 1))
+
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(12, 4)).astype(np.float32))
+    x = np.random.default_rng(1).normal(size=(16, 12)).astype(np.float32)
+    y = np.random.default_rng(2).normal(size=(16, 4)).astype(np.float32)
+
+    def loss(w, x, y):
+        return jnp.mean(jnp.square(x @ w - y))
+
+    g_single = jax.grad(loss)(w, jnp.asarray(x), jnp.asarray(y))
+
+    wr = replicate(mesh, w)
+    xs = shard_batch(mesh, {"x": x, "y": y})
+    g_sharded = jax.jit(jax.grad(loss))(wr, xs["x"], xs["y"])
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-5)
+
+
+def test_wav2vec2_tp_spec_rules():
+    class FakeKey:
+        def __init__(self, key):
+            self.key = key
+
+    def spec_for(*names):
+        return wav2vec2_param_spec(tuple(FakeKey(n) for n in names), None)
+
+    assert spec_for("layer0", "q_proj", "kernel") == P(None, "model")
+    assert spec_for("layer0", "q_proj", "bias") == P("model")
+    assert spec_for("layer0", "out_proj", "kernel") == P("model", None)
+    assert spec_for("layer0", "out_proj", "bias") == P()
+    assert spec_for("layer3", "intermediate_dense", "kernel") == P(None, "model")
+    assert spec_for("layer3", "output_dense", "kernel") == P("model", None)
+    assert spec_for("feature_projection", "projection", "kernel") == P()
+    assert spec_for("layer1", "layer_norm", "scale") == P()
+
+
+def test_wav2vec2_tensor_parallel_forward_matches_replicated():
+    """TP-sharded wav2vec2 forward == replicated forward (GSPMD collectives)."""
+    from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    cfg = Wav2Vec2Config(
+        conv_dim=(32, 32), conv_kernel=(10, 3), conv_stride=(5, 2),
+        hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96,
+        pos_conv_kernel=16, pos_conv_groups=4,
+    )
+    enc = Wav2Vec2Encoder(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2000)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+    ref = enc.apply({"params": params}, x)
+
+    mesh = make_mesh((4, 2))
+    params_tp = shard_params_tensor_parallel(mesh, params)
+    x_sh = shard_batch(mesh, {"x": np.asarray(x)})["x"]
+    out = jax.jit(lambda p, x: enc.apply({"params": p}, x))(params_tp, x_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_entry():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

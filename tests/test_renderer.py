@@ -1,0 +1,88 @@
+import numpy as np
+
+from audio2face_tpu.utils.facemesh import FaceMesh
+from audio2face_tpu.utils.renderer import (
+    Renderer,
+    _rodrigues,
+    images_to_video,
+    light_positions,
+    save_audio,
+    vertex_normals,
+)
+
+
+def test_rodrigues_matches_cv2():
+    import cv2
+
+    for aa in ([0.5, 0, 0], [0, -0.5236, 0], [0.1, 0.2, 0.3]):
+        ours = _rodrigues(np.asarray(aa, np.float64))
+        ref = cv2.Rodrigues(np.asarray(aa))[0]
+        np.testing.assert_allclose(ours, ref, atol=1e-8)
+
+
+def test_light_positions():
+    lp = light_positions()
+    assert lp.shape == (5, 3)
+    np.testing.assert_allclose(lp[0], [0, 0, 1])
+    np.testing.assert_allclose(np.linalg.norm(lp, axis=1), 1.0, rtol=1e-6)
+
+
+def test_vertex_normals_flat_quad():
+    import jax.numpy as jnp
+
+    verts = jnp.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    n = np.asarray(vertex_normals(verts, faces))
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)
+
+
+def _double_triangle_mesh():
+    # a large triangle centered on the optical axis, 0.5 m from the camera,
+    # plus a back triangle that must be occluded
+    verts = np.array(
+        [
+            [-0.05, -0.05, 0.5], [0.05, -0.05, 0.5], [0.0, 0.05, 0.5],
+            [-0.05, -0.05, 0.3], [0.05, -0.05, 0.3], [0.0, 0.05, 0.3],
+        ],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [3, 4, 5]])
+    return FaceMesh(verts, faces)
+
+
+def test_render_triangle_zbuffer():
+    mesh = _double_triangle_mesh()
+    r = Renderer(mesh)
+    img = r._render_frame(mesh.verts)
+    assert img.shape == (800, 800, 3) and img.dtype == np.uint8
+    # something rendered near the image centre
+    assert (img[:, :, 0] != 255).any()
+    ys, xs = np.where(img[:, :, 0] != 255)
+    cx, cy = xs.mean(), ys.mean()
+    assert 300 < cx < 500 and 300 < cy < 500
+    # z-buffer: front triangle (z=0.5 -> 0.5 m from camera) should win over
+    # the z=0.3 one... z=0.5 world means distance 0.5 from camera at z=1.0,
+    # the z=0.3 triangle is 0.7 away -> the nearer (z=0.5) covers the centre;
+    # verify the covered area is contiguous and nontrivial
+    assert len(xs) > 500
+
+
+def test_render_fault_tolerance():
+    mesh = _double_triangle_mesh()
+    r = Renderer(mesh)
+    good = mesh.verts
+    frames = np.stack([good, good])
+    images = r.render(frames)
+    assert len(images) == 2
+    np.testing.assert_array_equal(images[0], images[1])
+
+
+def test_images_to_video_and_audio(tmp_path):
+    img = np.full((64, 64, 3), 255, np.uint8)
+    path = images_to_video([img, img, img], str(tmp_path), fps=30)
+    assert path.endswith("tmp.mp4")
+    import os
+
+    assert os.path.getsize(path) > 0
+    wav = save_audio(np.zeros(1600, np.float32), str(tmp_path))
+    assert os.path.getsize(wav) > 0

@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from audio2face_tpu.config import ExpConfig
+from audio2face_tpu.data.synthetic import generate_synthetic_vocaset
+from audio2face_tpu.data.vocaset import VocaDataModule
+from audio2face_tpu.training.trainer import Audio2FaceExperiment, torch_adam
+
+
+def test_torch_adam_matches_torch():
+    """Our optax chain must reproduce torch.optim.Adam(weight_decay=wd)
+    (the reference optimizer, lightning_model.py:209-213) step for step."""
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(5, 3)).astype(np.float32)
+    lr, wd = 1e-2, 1e-3
+
+    wt = torch.nn.Parameter(torch.as_tensor(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=lr, weight_decay=wd)
+    target = torch.zeros_like(wt)
+
+    tx = torch_adam(lr, wd)
+    wj = jnp.asarray(w0)
+    opt_state = tx.init(wj)
+
+    for _ in range(5):
+        loss = ((wt - target) ** 2).sum()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+        grad = 2.0 * wj
+        updates, opt_state = tx.update(grad, opt_state, wj)
+        wj = wj + updates
+
+    np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("voca"))
+    generate_synthetic_vocaset(d, n_verts=60, sentences_per_subject=1, seconds_per_sentence=0.6)
+    cfg = ExpConfig(
+        batch_size=16, modelname="audio2mesh", vertex_count=180, one_hot_size=12,
+        feature_extractor="mfcc", sample_rate=22000, split_frame=True,
+        n_feature=32, out_dim=52, win_length=440, percision="32", lr=1e-3,
+    )
+    dm = VocaDataModule(d, batch_size=cfg.batch_size, split_frame=True)
+    dm.setup()
+    return cfg, dm
+
+
+def test_fit_reduces_error_and_checkpoints(tiny_setup, tmp_path):
+    cfg, dm = tiny_setup
+    exp = Audio2FaceExperiment(cfg, log_dir=str(tmp_path / "run"))
+    state, result = exp.fit(dm, max_epochs=3)
+    errs = [h["val/err"] for h in result.history]
+    assert errs[-1] < errs[0] * 0.8, f"val err did not improve: {errs}"
+    # newest checkpoint reloads and reproduces predictions
+    restored = exp.load_checkpoint()
+    batch = dm.predict_batch("FaceTalk_170809_00138_TA", "sentence01")
+    p1, e1 = exp.predict(state, batch)
+    p2, e2 = exp.predict(restored, batch)
+    assert np.asarray(p1).shape[1:] == (60, 3)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_early_stopping(tiny_setup, tmp_path):
+    cfg, dm = tiny_setup
+    cfg = cfg.model_copy(update={"early_stop_patience": 1, "lr": 0.0})
+    exp = Audio2FaceExperiment(cfg, log_dir=str(tmp_path / "run"))
+    # lr=0 -> val err can never improve after epoch 0 -> stops at patience
+    state, result = exp.fit(dm, max_epochs=10, checkpoint=False)
+    assert result.epochs_run <= 3
+
+
+def test_bf16_policy(tiny_setup, tmp_path):
+    cfg, dm = tiny_setup
+    cfg = cfg.model_copy(update={"percision": "16-mixed"})
+    assert cfg.bf16_compute
+    exp = Audio2FaceExperiment(cfg, log_dir=str(tmp_path / "run"))
+    batch = next(iter(dm.train_batches(np.random.default_rng(0))))
+    state = exp.init_state(batch)
+    # params stay f32 under the mixed policy
+    dtypes = {x.dtype for x in jax.tree.leaves(state.params)}
+    assert dtypes == {jnp.dtype(jnp.float32)}
+    state, metrics = exp.train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
