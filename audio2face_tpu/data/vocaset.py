@@ -342,11 +342,11 @@ class ClipVocaSet:
         n = len(rows)
         first_audio = self.raw_audio[rows[0][0]][rows[0][1]]
         sr = int(first_audio["sample_rate"])
-        window = 2 * int(sr * FRAGMENT_SECONDS / 2)
+        n_pad = int(sr * FRAGMENT_SECONDS / 2)
+        window = 2 * n_pad
 
         audio = np.empty((n, window), np.float32)
-        verts = np.empty((n,) + self.data_verts.shape[1:], np.float32)
-        template = np.empty_like(verts)
+        template = np.empty((n,) + self.data_verts.shape[1:], np.float32)
         one_hot = np.empty((n, len(ALL_SUBJECTS)), np.float32)
 
         shifts = (
@@ -354,14 +354,41 @@ class ClipVocaSet:
             if (rng is not None and self.random_shift and self.phase == "train")
             else np.zeros(n, np.int64)
         )
-        for i, (human_id, sentence_id, clip_index, verts_index) in enumerate(rows):
+
+        # group rows by clip so the native fragmenter runs one threaded
+        # gather per clip (fragment = audio[idx*sr/fps - n_pad - shift ...],
+        # zero-filled out of range — reference padding semantics,
+        # vocaset.py:408-430)
+        from audio2face_tpu.runtime import fragment_batch_i16
+
+        by_clip: dict[tuple[str, str], list[int]] = {}
+        for i, (human_id, sentence_id, _, _) in enumerate(rows):
+            by_clip.setdefault((human_id, sentence_id), []).append(i)
+        for (human_id, sentence_id), positions in by_clip.items():
             rec = self.raw_audio[human_id][sentence_id]
-            frag = batch_audio_fragments(
-                rec["audio"], np.asarray([clip_index]),
-                sample_rate=int(rec["sample_rate"]), shifts=shifts[i : i + 1],
-            )[0]
-            audio[i] = normalize_audio(frag) if self.normalize else frag
-            verts[i] = self.data_verts[verts_index]
+            clip_sr = int(rec["sample_rate"])
+            wav = rec["audio"]
+            starts = np.asarray(
+                [rows[i][2] * clip_sr // FPS - n_pad - shifts[i] for i in positions],
+                np.int64,
+            )
+            if self.normalize and wav.dtype == np.int16:
+                frags = fragment_batch_i16(wav, starts, window)
+            else:
+                frags = batch_audio_fragments(
+                    wav, np.asarray([rows[i][2] for i in positions]),
+                    sample_rate=clip_sr,
+                    shifts=np.asarray([shifts[i] for i in positions]),
+                )
+                if self.normalize:
+                    frags = normalize_audio(frags)
+            audio[positions] = frags
+
+        from audio2face_tpu.runtime import gather_rows_f32
+
+        verts_idx = np.asarray([r[3] for r in rows], np.int64)
+        verts = gather_rows_f32(np.asarray(self.data_verts), verts_idx)
+        for i, (human_id, _, _, _) in enumerate(rows):
             template[i] = self.template_verts[human_id]
             one_hot[i] = get_human_id_one_hot(human_id)
         return FrameBatch(audio, verts, template, one_hot)

@@ -72,11 +72,26 @@ class FitResult:
 class Audio2FaceExperiment:
     """Owns extractor + model + loss + optimizer + mesh (L4 equivalent)."""
 
-    def __init__(self, config: ExpConfig, mesh=None, log_dir: Optional[str] = None):
+    def __init__(
+        self,
+        config: ExpConfig,
+        mesh=None,
+        log_dir: Optional[str] = None,
+        tensorboard: bool = True,
+    ):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh_shape)
         self.log_dir = log_dir or os.path.join("logs", config.name())
         self.is_faceformer = config.modelname == "faceformer"
+        self._tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                os.makedirs(self.log_dir, exist_ok=True)
+                self._tb = SummaryWriter(self.log_dir)
+            except ImportError:
+                pass  # tensorboard logging is optional
 
         dtype = jnp.bfloat16 if config.bf16_compute else None
         model_cls = get_model(config.modelname)
@@ -270,7 +285,12 @@ class Audio2FaceExperiment:
         max_epochs: Optional[int] = None,
         log_every: int = 10,
         checkpoint: bool = True,
+        profile_epoch: Optional[int] = None,
     ) -> tuple[TrainState, FitResult]:
+        """Fit loop. ``profile_epoch`` captures a jax.profiler trace of that
+        epoch's first steps into {log_dir}/plugins/profile (view in
+        TensorBoard or Perfetto) — the tracing capability the reference only
+        hints at with a commented-out DeviceStatsMonitor (train.py:10,56)."""
         cfg = self.config
         max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         os.makedirs(self.log_dir, exist_ok=True)
@@ -293,17 +313,30 @@ class Audio2FaceExperiment:
         with open(metrics_path, "a") as logf:
             for epoch in range(max_epochs):
                 t0 = time.time()
+                profiling = profile_epoch is not None and epoch == profile_epoch
+                if profiling:
+                    jax.profiler.start_trace(self.log_dir)
                 train_errs, n_steps = [], 0
-                for batch in datamodule.train_batches(np_rng):
+                from audio2face_tpu.runtime import Prefetcher
+
+                for batch in Prefetcher(datamodule.train_batches(np_rng)):
                     rng, step_rng = jax.random.split(rng)
-                    state, metrics = self.train_step(state, batch, step_rng)
+                    with jax.profiler.StepTraceAnnotation("train", step_num=int(state.step)):
+                        state, metrics = self.train_step(state, batch, step_rng)
                     n_steps += 1
+                    if profiling and n_steps >= 5:
+                        jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                        jax.profiler.stop_trace()
+                        profiling = False
                     if n_steps % log_every == 0:
-                        logf.write(json.dumps({
-                            "epoch": epoch, "step": int(state.step),
-                            **{k: float(v) for k, v in metrics.items()},
-                        }) + "\n")
+                        row = {k: float(v) for k, v in metrics.items()}
+                        logf.write(json.dumps({"epoch": epoch, "step": int(state.step), **row}) + "\n")
+                        if self._tb is not None:
+                            for k, v in row.items():
+                                self._tb.add_scalar(f"train_step/{k}", v, int(state.step))
                     train_errs.append(metrics["err"])
+                if profiling:  # fewer than 5 steps in the epoch
+                    jax.profiler.stop_trace()
                 train_err = float(np.mean([float(e) for e in train_errs])) if train_errs else float("nan")
 
                 val_errs = []
@@ -318,6 +351,11 @@ class Audio2FaceExperiment:
                 history.append(row)
                 logf.write(json.dumps(row) + "\n")
                 logf.flush()
+                if self._tb is not None:
+                    # scalar names mirror the reference's logger
+                    # (lightning_model.py:127-143)
+                    self._tb.add_scalar("train/err", train_err, epoch)
+                    self._tb.add_scalar("val/err", val_err, epoch)
                 print(f"Epoch {epoch} train err: {train_err}")
                 print(f"Epoch {epoch} val error: {val_err}")
 
