@@ -75,6 +75,10 @@ class FaceFormer(nn.Module):
     n_onehot: int
     dtype: jnp.dtype | None = None
     remat_scan: bool = True
+    # "scan" | "fused" | None (auto: fused Pallas mega-kernel for inference
+    # on TPU — the whole decode loop runs in one kernel with VMEM-resident
+    # KV caches; training always uses the differentiable scan)
+    decode_impl: Optional[str] = None
 
     def _dense_params(self, name: str, d_in: int, d_out: int, *, bias: bool = True, zeros: bool = False):
         init_k = nn.initializers.zeros if zeros else nn.initializers.lecun_normal()
@@ -175,6 +179,35 @@ class FaceFormer(nn.Module):
         hd = d // N_HEADS
         cache_shape = (bsz, N_HEADS, n_frames, hd)
 
+        decode_impl = self.decode_impl
+        if decode_impl is None:
+            decode_impl = (
+                "fused"
+                if (not train and jax.default_backend() == "tpu")
+                else "scan"
+            )
+        if decode_impl == "fused" and not train:
+            from audio2face_tpu.ops.decode_kernel import faceformer_decode_loop
+
+            hs = faceformer_decode_loop(
+                cross, style, pe,
+                {
+                    "q_kernel": q_k, "q_bias": q_b,
+                    "k_kernel": k_k, "k_bias": k_b,
+                    "v_kernel": v_k, "v_bias": v_b,
+                    "o_kernel": o_k, "o_bias": o_b,
+                    "f1_kernel": f1_k, "f1_bias": f1_b,
+                    "f2_kernel": f2_k, "f2_bias": f2_b,
+                    "fb_kernel": fb_k, "fb_bias": fb_b,
+                    "ln1_scale": ln1[0], "ln1_bias": ln1[1],
+                    "ln2_scale": ln2[0], "ln2_bias": ln2[1],
+                    "ln3_scale": ln3[0], "ln3_bias": ln3[1],
+                },
+                period=PERIOD,
+                fast_math=self.dtype is not None,
+            )
+            return self._vertex_head(hs, vmr_k, vmr_b, template, bsz, n_frames, frame_lengths, lengths)
+
         dropout_rng = self.make_rng("dropout") if train else None
 
         def drop(rng, x, p=0.1):
@@ -231,8 +264,11 @@ class FaceFormer(nn.Module):
             step_rngs = jnp.zeros((n_frames, 2), jnp.uint32)
         (_, _, _), hs = jax.lax.scan(step, init, (ts, step_rngs))
         hs = jnp.swapaxes(hs, 0, 1)  # (B, T, 64)
+        return self._vertex_head(hs, vmr_k, vmr_b, template, bsz, n_frames, frame_lengths, lengths)
 
-        # vertex head as one big MXU matmul after the scan
+    def _vertex_head(self, hs, vmr_k, vmr_b, template, bsz, n_frames, frame_lengths, lengths):
+        """Vertex head as one big MXU matmul after the decode loop."""
+        d = FEATURE_DIM
         verts = (hs.reshape(-1, d) @ vmr_k + vmr_b).reshape(bsz, n_frames, -1)
         verts = verts.astype(jnp.float32) + template.reshape(bsz, 1, -1)
         verts = verts.reshape(bsz, n_frames, -1, 3)

@@ -1,0 +1,110 @@
+"""Fused Pallas decode loop == lax.scan decode (which == the reference's
+naive autoregressive loop, proven in test_faceformer.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio2face_tpu.ops.decode_kernel import faceformer_decode_loop
+from audio2face_tpu.models.faceformer import periodic_positional_encoding
+
+
+def _rand_weights(rng):
+    d, f = 64, 128
+    w = {}
+    for name, shape in [
+        ("q", (d, d)), ("k", (d, d)), ("v", (d, d)), ("o", (d, d)),
+        ("f1", (d, f)), ("f2", (f, d)), ("fb", (d, d)),
+    ]:
+        w[f"{name}_kernel"] = jnp.asarray(rng.normal(0, 0.2, shape).astype(np.float32))
+        w[f"{name}_bias"] = jnp.asarray(rng.normal(0, 0.1, shape[1]).astype(np.float32))
+    for i in (1, 2, 3):
+        w[f"ln{i}_scale"] = jnp.asarray(1.0 + rng.normal(0, 0.1, d).astype(np.float32))
+        w[f"ln{i}_bias"] = jnp.asarray(rng.normal(0, 0.1, d).astype(np.float32))
+    return w
+
+
+def _scan_reference(cross, style, pe, w, period=60):
+    """The faceformer scan decode, transcribed with plain jnp ops."""
+    from audio2face_tpu.ops.attention import decode_step_attention
+
+    b, t, d = cross.shape
+    hd = 16
+
+    def ln(x, s, bias):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * s + bias
+
+    def step(carry, tt):
+        emb, kc, vc = carry
+        x = emb + pe[tt % period]
+        q = (x @ w["q_kernel"] + w["q_bias"]).reshape(b, 4, hd)
+        k = (x @ w["k_kernel"] + w["k_bias"]).reshape(b, 4, hd)
+        v = (x @ w["v_kernel"] + w["v_bias"]).reshape(b, 4, hd)
+        kc = jax.lax.dynamic_update_index_in_dim(kc, k, tt, axis=2)
+        vc = jax.lax.dynamic_update_index_in_dim(vc, v, tt, axis=2)
+        attn = decode_step_attention(q, kc, vc, tt, alibi_period=period)
+        sa = attn.reshape(b, d) @ w["o_kernel"] + w["o_bias"]
+        h = ln(x + sa, w["ln1_scale"], w["ln1_bias"])
+        h = ln(h + jax.lax.dynamic_index_in_dim(cross, tt, 1, keepdims=False), w["ln2_scale"], w["ln2_bias"])
+        ff = jnp.maximum(h @ w["f1_kernel"] + w["f1_bias"], 0.0) @ w["f2_kernel"] + w["f2_bias"]
+        h = ln(h + ff, w["ln3_scale"], w["ln3_bias"])
+        nxt = h @ w["fb_kernel"] + w["fb_bias"] + style
+        return (nxt, kc, vc), h
+
+    init = (style, jnp.zeros((b, 4, t, hd)), jnp.zeros((b, 4, t, hd)))
+    (_, _, _), hs = jax.lax.scan(step, init, jnp.arange(t))
+    return jnp.swapaxes(hs, 0, 1)
+
+
+@pytest.mark.parametrize("b,t", [(1, 30), (4, 64), (6, 37)])
+def test_fused_decode_matches_scan(b, t):
+    rng = np.random.default_rng(0)
+    w = _rand_weights(rng)
+    cross = jnp.asarray(rng.normal(0, 0.5, (b, t, 64)).astype(np.float32))
+    style = jnp.asarray(rng.normal(0, 0.5, (b, 64)).astype(np.float32))
+    pe = jnp.asarray(periodic_positional_encoding())
+
+    ref = _scan_reference(cross, style, pe, w)
+    out = faceformer_decode_loop(cross, style, pe, w, interpret=True, fast_math=False)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_faceformer_fused_flag_matches_scan():
+    """End-to-end: FaceFormer(decode_impl='fused') == decode_impl='scan'
+    (interpret-mode Pallas on CPU)."""
+    from unittest.mock import patch
+
+    from audio2face_tpu.models.faceformer import FaceFormer
+    import audio2face_tpu.models.faceformer as ff_mod
+    from audio2face_tpu.ops import decode_kernel
+
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray((rng.normal(size=(2, 4000)) * 0.1).astype(np.float32))
+    one_hot = jnp.asarray(np.eye(12, dtype=np.float32)[[1, 5]])
+    template = jnp.asarray(rng.normal(size=(2, 100, 3)).astype(np.float32))
+
+    model_scan = FaceFormer(n_verts=300, n_onehot=12, decode_impl="scan")
+    variables = jax.jit(model_scan.init)(jax.random.PRNGKey(0), audio, one_hot, template)
+    # randomize the zero-init motion maps so the decode actually feeds back
+    params = dict(variables["params"])
+    params["vertice_map_kernel"] = jnp.asarray(rng.normal(0, 0.05, (300, 64)).astype(np.float32))
+    params["vertice_map_r_kernel"] = jnp.asarray(rng.normal(0, 0.05, (64, 300)).astype(np.float32))
+    variables = {"params": params}
+
+    ref = model_scan.apply(variables, audio, one_hot, template)
+
+    orig = decode_kernel.faceformer_decode_loop
+
+    def interp_loop(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    model_fused = FaceFormer(n_verts=300, n_onehot=12, decode_impl="fused")
+    with patch.object(decode_kernel, "faceformer_decode_loop", interp_loop):
+        out = model_fused.apply(variables, audio, one_hot, template)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
