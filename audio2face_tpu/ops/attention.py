@@ -144,6 +144,7 @@ def _flash_kernel(
     block_k: int,
     n_k_blocks: int,
     precision: jax.lax.Precision,
+    may_mask: bool,
 ):
     bh = pl.program_id(0)
     iq = pl.program_id(1)
@@ -178,8 +179,10 @@ def _flash_kernel(
         )
         s = s * sm_scale
 
-        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        needs_idx = causal or (alibi_period is not None) or may_mask
+        if needs_idx:
+            row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         if alibi_period is not None:
             slope = slope_ref[bh]
             # floor division (reference uses torch // which floors toward -inf;
@@ -189,10 +192,11 @@ def _flash_kernel(
             rd = d - qd * alibi_period
             qd = qd - jnp.logical_and(rd != 0, d < 0).astype(jnp.int32)
             s = s - slope * qd.astype(jnp.float32)
-        mask = col < kvlen
-        if causal:
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        if needs_idx:
+            mask = col < kvlen
+            if causal:
+                mask = jnp.logical_and(mask, col <= row)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -229,8 +233,8 @@ def flash_attention_pallas(
     alibi_period: Optional[int] = None,
     kv_lengths: Optional[jnp.ndarray] = None,
     sm_scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas flash attention. q,k,v: (B, H, Tq/Tk, D) -> (B, H, Tq, D)."""
@@ -240,7 +244,9 @@ def flash_attention_pallas(
         sm_scale = 1.0 / math.sqrt(d)
     out_dtype = q.dtype
 
-    d_pad = max(_round_up(d, 128), 128)
+    # lane padding: multiples of 64 are Mosaic-supported; 64 halves the
+    # memory traffic vs padding to 128 for the common head_dim=64 case
+    d_pad = max(_round_up(d, 64), 64)
     block_q = min(block_q, _round_up(t_q, 8))
     block_k = min(block_k, _round_up(t_k, 128))
     t_q_pad = _round_up(t_q, block_q)
@@ -281,6 +287,8 @@ def flash_attention_pallas(
         block_k=block_k,
         n_k_blocks=n_k_blocks,
         precision=precision,
+        # masking work is skipped entirely when no key can be invalid
+        may_mask=kv_lengths is not None or t_k_pad != t_k,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

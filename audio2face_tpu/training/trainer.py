@@ -286,11 +286,17 @@ class Audio2FaceExperiment:
         log_every: int = 10,
         checkpoint: bool = True,
         profile_epoch: Optional[int] = None,
+        resume: bool = False,
     ) -> tuple[TrainState, FitResult]:
         """Fit loop. ``profile_epoch`` captures a jax.profiler trace of that
         epoch's first steps into {log_dir}/plugins/profile (view in
         TensorBoard or Perfetto) — the tracing capability the reference only
-        hints at with a commented-out DeviceStatsMonitor (train.py:10,56)."""
+        hints at with a commented-out DeviceStatsMonitor (train.py:10,56).
+
+        ``resume=True`` continues mid-run from the newest checkpoint —
+        optimizer state, step and epoch counter included — a capability the
+        reference lacks (``fit(ckpt_path=...)`` unused, no optimizer-state
+        continuation; SURVEY §5)."""
         cfg = self.config
         max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         os.makedirs(self.log_dir, exist_ok=True)
@@ -299,6 +305,11 @@ class Audio2FaceExperiment:
         np_rng = np.random.default_rng(cfg.seed)
         rng = jax.random.PRNGKey(cfg.seed)
 
+        start_epoch = 0
+        if resume and state is None and os.path.isdir(self._ckpt_dir()):
+            state, start_epoch = self.load_checkpoint(with_epoch=True)
+            start_epoch += 1
+            rng = jax.random.fold_in(rng, start_epoch)
         if state is None:
             first = next(iter(datamodule.train_batches(np.random.default_rng(0))))
             state = self.init_state(first)
@@ -311,7 +322,7 @@ class Audio2FaceExperiment:
         history = []
 
         with open(metrics_path, "a") as logf:
-            for epoch in range(max_epochs):
+            for epoch in range(start_epoch, max_epochs):
                 t0 = time.time()
                 profiling = profile_epoch is not None and epoch == profile_epoch
                 if profiling:
@@ -386,14 +397,18 @@ class Audio2FaceExperiment:
         path = os.path.join(self._ckpt_dir(), f"epoch={epoch}-step={int(state.step)}")
         ckpt = {
             "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
+            # leaf list: optax NamedTuple structure is rebuilt from
+            # tx.init(params) at load time (orbax round-trips namedtuples
+            # as plain dicts otherwise)
+            "opt_state_leaves": jax.tree.leaves(state.opt_state),
             "step": state.step,
         }
+        if state.batch_stats:
+            ckpt["batch_stats"] = state.batch_stats
         ocp.PyTreeCheckpointer().save(path, jax.tree.map(np.asarray, ckpt), force=True)
         return path
 
-    def load_checkpoint(self, path: Optional[str] = None) -> TrainState:
+    def load_checkpoint(self, path: Optional[str] = None, with_epoch: bool = False):
         """Load the newest checkpoint (sorted by the trailing step integer,
         mirroring train.py:62-67) or an explicit path."""
         import orbax.checkpoint as ocp
@@ -403,10 +418,23 @@ class Audio2FaceExperiment:
             ckpts = sorted(ckpts, key=lambda x: int(x.split("=")[-1]))
             path = os.path.join(self._ckpt_dir(), ckpts[-1])
         restored = ocp.PyTreeCheckpointer().restore(path)
+        params = restored["params"]
+        opt_treedef = jax.tree.structure(self.tx.init(params))
+        if "opt_state_leaves" in restored:
+            leaves = restored["opt_state_leaves"]
+            if isinstance(leaves, dict):  # orbax stores lists as index dicts
+                leaves = [leaves[k] for k in sorted(leaves, key=int)]
+            opt_state = jax.tree.unflatten(opt_treedef, leaves)
+        else:
+            opt_state = self.tx.init(params)
         state = TrainState(
             step=jnp.asarray(restored["step"]),
-            params=restored["params"],
-            batch_stats=restored.get("batch_stats", {}),
-            opt_state=restored["opt_state"],
+            params=params,
+            batch_stats=restored.get("batch_stats") or {},
+            opt_state=opt_state,
         )
-        return replicate(self.mesh, jax.tree.map(jnp.asarray, state))
+        state = replicate(self.mesh, jax.tree.map(jnp.asarray, state))
+        if with_epoch:
+            epoch = int(os.path.basename(path).split("=")[1].split("-")[0])
+            return state, epoch
+        return state

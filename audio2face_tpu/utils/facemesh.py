@@ -75,8 +75,8 @@ def load_ply(path: str) -> tuple[np.ndarray, np.ndarray]:
                 n_faces = int(line.split()[-1])
                 in_vertex = False
             elif line.startswith(b"property") and in_vertex:
-                parts = line.split()
-                vert_props.append((parts[1].decode(), parts[-1].decode()))
+                parts = line.split()  # e.g. b"property float x"
+                vert_props.append((parts[-1].decode(), parts[1].decode()))
             elif line == b"end_header":
                 break
 

@@ -68,6 +68,36 @@ def test_fit_reduces_error_and_checkpoints(tiny_setup, tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+def test_mid_run_resume(tiny_setup, tmp_path):
+    """fit(resume=True) continues from the newest checkpoint with optimizer
+    state and epoch counter — capability absent in the reference."""
+    cfg, dm = tiny_setup
+    log_dir = str(tmp_path / "run")
+    exp = Audio2FaceExperiment(cfg, log_dir=log_dir)
+    state, r1 = exp.fit(dm, max_epochs=2)
+    step_after = int(state.step)
+
+    exp2 = Audio2FaceExperiment(cfg, log_dir=log_dir)
+    state2, r2 = exp2.fit(dm, max_epochs=4, resume=True)
+    assert r2.history[0]["epoch"] >= 2  # continued, not restarted
+    assert int(state2.step) > step_after
+
+
+def test_voca_checkpoint_roundtrip(tiny_setup, tmp_path):
+    """VOCA has no batch norm — empty batch_stats must checkpoint cleanly."""
+    cfg, dm = tiny_setup
+    cfg = cfg.model_copy(update={"modelname": "voca", "n_feature": 16, "out_dim": 29, "win_length": 790})
+    dmv = type(dm)(dm.datapath, batch_size=8, split_frame=True)
+    dmv.setup()
+    exp = Audio2FaceExperiment(cfg, log_dir=str(tmp_path / "run"))
+    state, _ = exp.fit(dmv, max_epochs=1)
+    restored = exp.load_checkpoint()
+    batch = dmv.predict_batch("FaceTalk_170809_00138_TA", "sentence01")
+    p1, _ = exp.predict(state, batch)
+    p2, _ = exp.predict(restored, batch)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
 def test_early_stopping(tiny_setup, tmp_path):
     cfg, dm = tiny_setup
     cfg = cfg.model_copy(update={"early_stop_patience": 1, "lr": 0.0})
