@@ -63,10 +63,12 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     n_data = mesh.shape[DATA_AXIS]
 
     def put(x):
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % n_data != 0:
             # odd-sized tails (e.g. the last val batch) replicate
             return jax.device_put(x, NamedSharding(mesh, P()))
+        # no-op if already placed with this sharding
         return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
 
     return jax.tree.map(put, batch)

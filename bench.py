@@ -38,6 +38,22 @@ def _sync(x) -> float:
     return float(jnp.sum(x[..., :1, :].astype(jnp.float32)))
 
 
+def timed(fn, n: int) -> float:
+    """Per-call wall time with the device->host round trip amortized away.
+
+    The tunnel's scalar fetch costs ~40 ms RTT, so per-iteration syncing
+    swamps small kernels. TPU execution is in-order: dispatching n calls and
+    fetching from the last output drains the whole queue with ONE round trip.
+    """
+    _sync(fn())  # compile + warm + drain
+    tic = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - tic) / n
+
+
 def bench_faceformer_streaming(seconds: float = 60.0, batch: int = 8, bf16: bool = True):
     from audio2face_tpu.models.faceformer import FaceFormer
 
@@ -57,13 +73,7 @@ def bench_faceformer_streaming(seconds: float = 60.0, batch: int = 8, bf16: bool
     )
 
     fwd = jax.jit(lambda v, a, o, t: model.apply(v, a, o, t))
-    _sync(fwd(variables, audio, one_hot, template))  # compile + warm
-
-    n_iters = 5
-    tic = time.perf_counter()
-    for _ in range(n_iters):
-        _sync(fwd(variables, audio, one_hot, template))
-    wall = (time.perf_counter() - tic) / n_iters
+    wall = timed(lambda: fwd(variables, audio, one_hot, template), n=10)
 
     total_frames = batch * n_frames
     frames_per_sec = total_frames / wall
@@ -98,12 +108,7 @@ def bench_audio2mesh(batch: int = 512):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), fe(audio[:2]), one_hot[:2], template[:2])
 
     fwd = jax.jit(lambda v, a, o, t: model.apply(v, fe(a), o, t))
-    _sync(fwd(variables, audio, one_hot, template))
-    n_iters = 10
-    tic = time.perf_counter()
-    for _ in range(n_iters):
-        _sync(fwd(variables, audio, one_hot, template))
-    wall = (time.perf_counter() - tic) / n_iters
+    wall = timed(lambda: fwd(variables, audio, one_hot, template), n=30)
     fps = batch / wall
     return {
         "metric": "audio2mesh fused MFCC+conv forward, frames/sec/chip",
@@ -111,6 +116,71 @@ def bench_audio2mesh(batch: int = 512):
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / FPS / 30.0, 3),
         "detail": {"batch": batch, "wall_ms": round(wall * 1e3, 3)},
+    }
+
+
+def bench_voca(batch: int = 512):
+    from audio2face_tpu.models.voca import Voca
+    from audio2face_tpu.models.extractor import MFCCExtractor
+
+    model = Voca(n_verts=N_VERTS, n_onehot=N_ONEHOT, dtype=jnp.bfloat16)
+    fe = MFCCExtractor(22000, 16, 29, 790, None, 1024)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(batch, 11440)).astype(np.float32) * 0.1)
+    one_hot = jnp.asarray(np.eye(N_ONEHOT, dtype=np.float32)[rng.integers(0, N_ONEHOT, batch)])
+    template = jnp.asarray(rng.normal(size=(batch, N_VERTS // 3, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), fe(audio[:2]), one_hot[:2], template[:2])
+    fwd = jax.jit(lambda v, a, o, t: model.apply(v, fe(a), o, t))
+    wall = timed(lambda: fwd(variables, audio, one_hot, template), n=30)
+    fps = batch / wall
+    return {
+        "metric": "voca fused MFCC+conv forward, frames/sec/chip",
+        "value": round(fps, 1), "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / FPS / 30.0, 3),
+        "detail": {"batch": batch, "wall_ms": round(wall * 1e3, 3)},
+    }
+
+
+def bench_train_step(batch: int = 128):
+    """BASELINE config #5: full training-step throughput (audio2mesh,
+    position+velocity loss, torch-Adam, x100 scaling) on one chip."""
+    from audio2face_tpu.config import ExpConfig
+    from audio2face_tpu.training.trainer import Audio2FaceExperiment
+
+    cfg = ExpConfig(
+        batch_size=batch, modelname="audio2mesh", vertex_count=N_VERTS,
+        one_hot_size=N_ONEHOT, feature_extractor="mfcc", sample_rate=22000,
+        split_frame=True, n_feature=32, out_dim=52, win_length=440,
+        percision="16-mixed", lr=1e-4,
+    )
+    exp = Audio2FaceExperiment(cfg, log_dir="/tmp/bench_train", tensorboard=False)
+    rng = np.random.default_rng(0)
+    b = {
+        "audio": rng.normal(size=(batch, 11440)).astype(np.float32) * 0.1,
+        "verts": rng.normal(size=(batch, N_VERTS // 3, 3)).astype(np.float32) * 0.01,
+        "template_vert": rng.normal(size=(batch, N_VERTS // 3, 3)).astype(np.float32) * 0.01,
+        "one_hot": np.eye(N_ONEHOT, dtype=np.float32)[rng.integers(0, N_ONEHOT, batch)],
+    }
+    state = exp.init_state(b)
+    # stage the batch on device once: steady-state training overlaps H2D with
+    # compute (Prefetcher); the tunnel transfer is not part of the step
+    from audio2face_tpu.parallel.mesh import shard_batch
+
+    b = shard_batch(exp.mesh, b)
+    key = jax.random.PRNGKey(0)
+    state, m = exp.train_step(state, b, key)
+    float(m["loss"])  # compile + drain
+    n = 20
+    tic = time.perf_counter()
+    for i in range(n):
+        state, m = exp.train_step(state, b, jax.random.fold_in(key, i))
+    loss = float(m["loss"])  # one sync drains the in-order queue
+    wall = (time.perf_counter() - tic) / n
+    return {
+        "metric": "audio2mesh train step (bs=128, fused MFCC, fwd+bwd+adam)",
+        "value": round(batch / wall, 1), "unit": "frames/sec/chip",
+        "vs_baseline": None,
+        "detail": {"wall_ms": round(wall * 1e3, 2), "loss": round(loss, 4)},
     }
 
 
@@ -124,7 +194,12 @@ def main():
 
     result = bench_faceformer_streaming(args.seconds, args.batch, bf16=not args.f32)
     if args.suite:
-        extras = {"audio2mesh": bench_audio2mesh()}
+        extras = {
+            "audio2mesh": bench_audio2mesh(),
+            "voca": bench_voca(),
+            "faceformer_10s_bs1": bench_faceformer_streaming(10.0, 1),
+            "train_step": bench_train_step(),
+        }
         result["detail"]["suite"] = extras
     print(json.dumps({
         "metric": result["metric"],
