@@ -107,7 +107,21 @@ class Audio2FaceExperiment:
             hop_length=config.hop_length,
             n_fft=1024,
         )
-        self.loss_fn = get_loss_fn(config.modelname)
+        # config.loss override: the reference stores the raw string as the
+        # loss callable (lightning_model.py:97, a latent crash); here known
+        # names map to the actual loss classes
+        if config.loss is None:
+            self.loss_fn = get_loss_fn(config.modelname)
+        else:
+            from audio2face_tpu.losses import FaceFormerLoss, VocaLoss
+
+            loss_map = {"voca": VocaLoss(), "faceformer": FaceFormerLoss()}
+            try:
+                self.loss_fn = loss_map[config.loss]
+            except KeyError:
+                raise KeyError(
+                    f"Unknown loss {config.loss!r}; available: {sorted(loss_map)}"
+                ) from None
         self.lr = config.lr
         self.tx = torch_adam(config.lr, config.lr / 10.0)
         self._jit_cache: dict = {}

@@ -107,6 +107,18 @@ def test_early_stopping(tiny_setup, tmp_path):
     assert result.epochs_run <= 3
 
 
+def test_loss_override(tiny_setup, tmp_path):
+    """config.loss maps names to real loss classes (the reference stores the
+    raw string, a latent crash — lightning_model.py:97)."""
+    from audio2face_tpu.losses import VocaLoss
+
+    cfg, dm = tiny_setup
+    exp = Audio2FaceExperiment(cfg.model_copy(update={"loss": "voca"}), log_dir=str(tmp_path))
+    assert isinstance(exp.loss_fn, VocaLoss)
+    with pytest.raises(KeyError):
+        Audio2FaceExperiment(cfg.model_copy(update={"loss": "mse"}), log_dir=str(tmp_path))
+
+
 def test_bf16_policy(tiny_setup, tmp_path):
     cfg, dm = tiny_setup
     cfg = cfg.model_copy(update={"percision": "16-mixed"})
