@@ -18,6 +18,11 @@ def enable_persistent_cache(path: str | None = None) -> None:
 
     path = path or os.environ.get("A2F_JAX_CACHE_DIR", _DEFAULT_DIR)
     try:
+        if jax.default_backend() != "tpu":
+            # CPU AOT entries are huge and machine-feature-specific
+            # (loading them on another host risks SIGILL); TPU entries are
+            # small and portable across same-generation chips
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
