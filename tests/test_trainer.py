@@ -107,6 +107,18 @@ def test_early_stopping(tiny_setup, tmp_path):
     assert result.epochs_run <= 3
 
 
+def test_song2face_trains(tiny_setup, tmp_path):
+    """Registry completeness: song2face runs through the full experiment."""
+    cfg, dm = tiny_setup
+    cfg = cfg.model_copy(update={"modelname": "song2face"})
+    exp = Audio2FaceExperiment(cfg, log_dir=str(tmp_path / "run"))
+    batch = next(iter(dm.train_batches(np.random.default_rng(0))))
+    state = exp.init_state(batch)
+    state, metrics = exp.train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(exp.eval_step(state, batch)["err"]))
+
+
 def test_loss_override(tiny_setup, tmp_path):
     """config.loss maps names to real loss classes (the reference stores the
     raw string, a latent crash — lightning_model.py:97)."""
