@@ -79,16 +79,20 @@ class MaskedGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         h32 = h.astype(jnp.float32)
+        # single-pass stats (E[x], E[x^2]): halves the HBM traffic of this
+        # memory-bound op on long sequences vs the two-pass mean/var form
         if feat_lengths is None:
             mean = jnp.mean(h32, axis=1, keepdims=True)
-            var = jnp.var(h32, axis=1, keepdims=True)
+            sq = jnp.mean(jnp.square(h32), axis=1, keepdims=True)
         else:
             valid = (
                 jnp.arange(h.shape[1])[None, :] < feat_lengths[:, None]
             ).astype(jnp.float32)[..., None]
             n = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1.0)
-            mean = jnp.sum(h32 * valid, axis=1, keepdims=True) / n
-            var = jnp.sum(jnp.square(h32 - mean) * valid, axis=1, keepdims=True) / n
+            hv = h32 * valid
+            mean = jnp.sum(hv, axis=1, keepdims=True) / n
+            sq = jnp.sum(jnp.square(hv), axis=1, keepdims=True) / n
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
         out = (h32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         out = out * scale + bias
         return out.astype(h.dtype)

@@ -233,7 +233,7 @@ def flash_attention_pallas(
     alibi_period: Optional[int] = None,
     kv_lengths: Optional[jnp.ndarray] = None,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
