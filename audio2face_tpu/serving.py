@@ -1,0 +1,172 @@
+"""Inference/serving API: bucketed, batched, checkpoint-driven prediction.
+
+The reference has no dedicated inference surface — prediction happens inside
+train.py's Lightning predict pass, one clip at a time, recompiling nothing
+because it's eager PyTorch. Under jit, variable-length audio would retrace
+per length; this module gives the production path:
+
+- shape buckets (audio seconds rounded up to a grid) so a handful of
+  compiled programs cover any clip length, with per-item ``lengths`` masking
+  inside the graph (exact: the fps adapter and group norm are length-aware);
+- padded batching up to ``max_batch`` speakers per call (BASELINE config #4);
+- weights from an orbax checkpoint, a converted PyTorch/Lightning
+  checkpoint, or random init for benchmarking;
+- outputs in data units (the ÷100 prediction scaling applies only to the
+  training pipeline's scaled targets; raw model output is already in
+  template units for converted reference checkpoints).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio2face_tpu.models.faceformer import AUDIO_SR, FPS, FaceFormer, frame_count
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FaceFormerPredictor:
+    """Batched speech -> vertex-animation inference for FaceFormer."""
+
+    def __init__(
+        self,
+        n_verts: int = 15069,
+        n_onehot: int = 12,
+        variables: Optional[dict] = None,
+        *,
+        bf16: bool = True,
+        max_batch: int = 8,
+        bucket_seconds: float = 5.0,
+        seed: int = 0,
+        decode_impl: Optional[str] = None,
+    ):
+        self.model = FaceFormer(
+            n_verts=n_verts,
+            n_onehot=n_onehot,
+            dtype=jnp.bfloat16 if bf16 else None,
+            decode_impl=decode_impl,
+        )
+        self.n_onehot = n_onehot
+        self.n_verts = n_verts
+        self.max_batch = max_batch
+        self.bucket_samples = int(bucket_seconds * AUDIO_SR)
+        if variables is None:
+            dummy = jnp.zeros((1, AUDIO_SR), jnp.float32)
+            variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(seed), dummy,
+                jnp.zeros((1, n_onehot), jnp.float32),
+                jnp.zeros((1, n_verts // 3, 3), jnp.float32),
+            )
+        self.variables = variables
+        self._fns: dict = {}
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, **kwargs) -> "FaceFormerPredictor":
+        """Load a reference PyTorch/Lightning checkpoint."""
+        from audio2face_tpu.compat.faceformer_convert import convert_faceformer
+        from audio2face_tpu.compat.torch_convert import load_torch_checkpoint
+
+        variables = jax.tree.map(
+            jnp.asarray, convert_faceformer(load_torch_checkpoint(path))
+        )
+        return cls(variables=variables, **kwargs)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kwargs) -> "FaceFormerPredictor":
+        """Load an orbax checkpoint written by the training loop."""
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(path)
+        variables = {"params": jax.tree.map(jnp.asarray, restored["params"])}
+        return cls(variables=variables, **kwargs)
+
+    def _get_fn(self, batch: int, samples: int):
+        key = (batch, samples)
+        if key not in self._fns:
+
+            @jax.jit
+            def fn(variables, audio, one_hot, template, lengths):
+                return self.model.apply(
+                    variables, audio, one_hot, template, lengths=lengths
+                )
+
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def __call__(
+        self,
+        audios: Sequence[np.ndarray],
+        one_hot: np.ndarray,
+        template: np.ndarray,
+        sample_rate: int = AUDIO_SR,
+    ) -> list[np.ndarray]:
+        """Decode a batch of clips.
+
+        audios: list of 1-D float waveforms (any lengths); one_hot: (N, 12);
+        template: (N, V, 3) or (V, 3) shared. Returns per-clip (T_i, V, 3)
+        vertex animations at 60 fps.
+        """
+        n = len(audios)
+        if one_hot.shape[0] != n:
+            raise ValueError(f"one_hot batch {one_hot.shape[0]} != {n} clips")
+        if template.ndim == 2:
+            template = np.broadcast_to(template[None], (n, *template.shape))
+
+        if sample_rate != AUDIO_SR:
+            from audio2face_tpu.ops.dsp import resample
+
+            audios = [
+                np.asarray(resample(jnp.asarray(a, jnp.float32), sample_rate, AUDIO_SR))
+                for a in audios
+            ]
+
+        results: list[Optional[np.ndarray]] = [None] * n
+        order = sorted(range(n), key=lambda i: len(audios[i]))
+        for lo in range(0, n, self.max_batch):
+            idx = order[lo : lo + self.max_batch]
+            group = [audios[i] for i in idx]
+            max_len = max(len(a) for a in group)
+            samples = _round_up(max(max_len, self.bucket_samples), self.bucket_samples)
+            b = len(group)
+            audio_pad = np.zeros((b, samples), np.float32)
+            lengths = np.zeros((b,), np.int32)
+            for j, a in enumerate(group):
+                audio_pad[j, : len(a)] = a
+                lengths[j] = len(a)
+            fn = self._get_fn(b, samples)
+            verts, mask = fn(
+                self.variables,
+                jnp.asarray(audio_pad),
+                jnp.asarray(one_hot[idx]),
+                jnp.asarray(template[idx].astype(np.float32)),
+                jnp.asarray(lengths),
+            )
+            verts = np.asarray(verts, np.float32)
+            n_valid = np.asarray(mask).sum(axis=1).astype(int)
+            for j, i in enumerate(idx):
+                results[i] = verts[j, : n_valid[j]]
+        return results  # type: ignore[return-value]
+
+    def realtime_factor(self, seconds: float = 60.0, batch: Optional[int] = None) -> float:
+        """Measured decode throughput in multiples of real time."""
+        import time
+
+        batch = batch or self.max_batch
+        rng = np.random.default_rng(0)
+        audios = [rng.normal(size=int(seconds * AUDIO_SR)).astype(np.float32) * 0.1] * batch
+        one_hot = np.eye(self.n_onehot, dtype=np.float32)[
+            rng.integers(0, self.n_onehot, batch)
+        ]
+        template = rng.normal(size=(self.n_verts // 3, 3)).astype(np.float32)
+        self(audios, one_hot, template)  # compile + warm
+        tic = time.perf_counter()
+        self(audios, one_hot, template)
+        wall = time.perf_counter() - tic
+        return batch * seconds / wall

@@ -1,0 +1,85 @@
+"""Inference entry point: wav file(s) -> vertex animation (+ optional video).
+
+A dedicated serving CLI the reference lacks (its only predict path runs
+inside train.py's Lightning predict pass, batch 1, 10 s cap). Decodes any
+number of clips of any length in padded batches on one chip.
+
+Example:
+    python infer.py --audio clip.wav --subject 3 \
+        --template assets/FLAME_sample.obj --checkpoint logs/.../checkpoints/epoch=7-step=123 \
+        --output out/ --video
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--audio", nargs="+", required=True, help="input wav file(s)")
+    parser.add_argument("--subject", type=int, nargs="+", default=None,
+                        help="style one-hot index per clip (default 0)")
+    parser.add_argument("--template", required=True, help="FLAME template .obj/.ply")
+    parser.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--torch-checkpoint", default=None, help="reference .ckpt/.pt")
+    parser.add_argument("--output", default="output")
+    parser.add_argument("--video", action="store_true", help="render mp4 per clip")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--f32", action="store_true")
+    args = parser.parse_args()
+
+    import scipy.io.wavfile as wavfile
+
+    from audio2face_tpu.serving import FaceFormerPredictor
+    from audio2face_tpu.utils.cache import enable_persistent_cache
+    from audio2face_tpu.utils.facemesh import FaceMesh
+
+    enable_persistent_cache()
+
+    mesh = FaceMesh.load(args.template)
+    kwargs = dict(max_batch=args.batch, bf16=not args.f32)
+    if args.torch_checkpoint:
+        predictor = FaceFormerPredictor.from_torch_checkpoint(args.torch_checkpoint, **kwargs)
+    elif args.checkpoint:
+        predictor = FaceFormerPredictor.from_checkpoint(args.checkpoint, **kwargs)
+    else:
+        print("WARNING: no checkpoint given — using random weights (smoke mode)")
+        predictor = FaceFormerPredictor(**kwargs)
+
+    audios, rates = [], set()
+    for path in args.audio:
+        sr, wav = wavfile.read(path)
+        if wav.dtype == np.int16:
+            wav = (wav / 32768.0).astype(np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=1)
+        audios.append(wav.astype(np.float32))
+        rates.add(sr)
+    if len(rates) != 1:
+        raise ValueError(f"all clips must share one sample rate, got {rates}")
+
+    subjects = args.subject or [0] * len(audios)
+    one_hot = np.eye(predictor.n_onehot, dtype=np.float32)[subjects]
+    template = np.asarray(mesh.verts, np.float32)
+
+    results = predictor(audios, one_hot, template, sample_rate=rates.pop())
+
+    os.makedirs(args.output, exist_ok=True)
+    for path, verts in zip(args.audio, results):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_npy = os.path.join(args.output, f"{stem}_verts.npy")
+        np.save(out_npy, verts)
+        print(f"{path}: {verts.shape[0]} frames -> {out_npy}")
+        if args.video:
+            from audio2face_tpu.utils.renderer import Renderer, images_to_video
+
+            renderer = Renderer(mesh)
+            images = renderer.render(verts)
+            clip_dir = os.path.join(args.output, stem)
+            images_to_video(images, clip_dir)
+
+
+if __name__ == "__main__":
+    main()
