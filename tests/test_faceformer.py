@@ -100,16 +100,26 @@ def test_faceformer_batched_padded_decode(pair):
     assert err < 5e-3, f"batched vs solo err {err}"
 
 
-def test_faceformer_train_grad(pair):
+def test_faceformer_train_grad():
     """Gradients flow through the rematerialized scan (the reference
     backprops through the full autoregressive unroll)."""
-    _, model, variables = pair
+    n_verts = 300  # small head keeps the CPU backward fast
+    model = FaceFormer(n_verts=n_verts, n_onehot=N_ONEHOT)
     rng = np.random.default_rng(2)
     audio = (rng.normal(size=(1, 4000)) * 0.1).astype(np.float32)
     one_hot = np.zeros((1, N_ONEHOT), np.float32)
     one_hot[0, 0] = 1.0
-    template = np.zeros((1, N_VERTS // 3, 3), np.float32)
-    target = rng.normal(size=(1, 15, N_VERTS // 3, 3)).astype(np.float32)
+    template = np.zeros((1, n_verts // 3, 3), np.float32)
+    target = rng.normal(size=(1, 15, n_verts // 3, 3)).astype(np.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(audio), jnp.asarray(one_hot), jnp.asarray(template)
+    )
+    # the zero-init motion maps (faceformer.py:132-135) block gradients into
+    # the decoder at exactly step 0; randomize them as training would
+    params = dict(variables["params"])
+    params["vertice_map_kernel"] = jnp.asarray(rng.normal(0, 0.02, (n_verts, 64)).astype(np.float32))
+    params["vertice_map_r_kernel"] = jnp.asarray(rng.normal(0, 0.02, (64, n_verts)).astype(np.float32))
+    variables = {"params": params}
 
     def loss_fn(params):
         out = model.apply(

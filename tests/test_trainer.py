@@ -44,9 +44,9 @@ def tiny_setup(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("voca"))
     generate_synthetic_vocaset(d, n_verts=60, sentences_per_subject=1, seconds_per_sentence=0.6)
     cfg = ExpConfig(
-        batch_size=16, modelname="audio2mesh", vertex_count=180, one_hot_size=12,
+        batch_size=48, modelname="audio2mesh", vertex_count=180, one_hot_size=12,
         feature_extractor="mfcc", sample_rate=22000, split_frame=True,
-        n_feature=32, out_dim=52, win_length=440, percision="32", lr=1e-3,
+        n_feature=32, out_dim=52, win_length=440, percision="32", lr=3e-3,
     )
     dm = VocaDataModule(d, batch_size=cfg.batch_size, split_frame=True)
     dm.setup()
