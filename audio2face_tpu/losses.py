@@ -69,8 +69,11 @@ def masked_faceformer_loss(
     """Padded-batch generalisation of FaceFormerLoss for jit-friendly training.
 
     ``pred``/``gt`` are (B, T, V, 3) padded to a static T; ``frame_mask`` is
-    (B, T) with 1.0 on valid frames. Reduces to FaceFormerLoss semantics for
-    B=1 with an even number of valid frames filling the buffer.
+    (B, T) with 1.0 on valid frames. Matches FaceFormerLoss exactly for B=1
+    when the valid frames fill the buffer: per-vertex squared-L2 means for
+    reconstruction, and velocity over *non-overlapping* frame pairs
+    ((0,1), (2,3), ... — the reference's ``view(-1, 2, V, 3)`` grouping,
+    src/loss/loss.py:31-40; odd trailing frames drop, loss.py:13-16).
     """
     pred = pred.astype(jnp.float32)
     gt = gt.astype(jnp.float32)
@@ -79,9 +82,11 @@ def masked_faceformer_loss(
     denom = jnp.maximum(jnp.sum(frame_mask), 1.0)
     rec_loss = jnp.sum(per_frame * frame_mask) / denom
 
-    v_pred = pred[:, 1:] - pred[:, :-1]
-    v_gt = gt[:, 1:] - gt[:, :-1]
-    vmask = frame_mask[:, 1:] * frame_mask[:, :-1]
+    # non-overlapping pairs: (0,1), (2,3), ...
+    t_even = (pred.shape[1] // 2) * 2
+    v_pred = pred[:, 1:t_even:2] - pred[:, 0:t_even:2]
+    v_gt = gt[:, 1:t_even:2] - gt[:, 0:t_even:2]
+    vmask = frame_mask[:, 1:t_even:2] * frame_mask[:, 0:t_even:2]
     vsq = jnp.mean(jnp.sum(jnp.square(v_pred - v_gt), axis=-1), axis=-1)
     vdenom = jnp.maximum(jnp.sum(vmask), 1.0)
     vel_loss = jnp.sum(vsq * vmask) / vdenom

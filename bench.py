@@ -184,6 +184,51 @@ def bench_train_step(batch: int = 128):
     }
 
 
+def bench_faceformer_train(seconds: float = 10.0):
+    """Training step through the autoregressive scan on a 10 s clip — the
+    configuration where the reference pays O(T^3) recompute (and caps at
+    10 s). bs=1 whole-clip, reference training regime (train.py:30-34)."""
+    from audio2face_tpu.config import ExpConfig
+    from audio2face_tpu.training.trainer import Audio2FaceExperiment
+    from audio2face_tpu.parallel.mesh import shard_batch
+
+    n_samples = int(seconds * SR)
+    n_frames = n_samples * FPS // SR
+    cfg = ExpConfig(
+        batch_size=1, modelname="faceformer", vertex_count=N_VERTS,
+        one_hot_size=N_ONEHOT, feature_extractor=None, sample_rate=SR,
+        split_frame=False, n_feature=32, out_dim=52, win_length=440,
+        percision="16-mixed", lr=1e-4,
+    )
+    exp = Audio2FaceExperiment(cfg, log_dir="/tmp/bench_fftrain", tensorboard=False)
+    rng = np.random.default_rng(0)
+    b = {
+        "audio": rng.normal(size=(1, n_samples)).astype(np.float32) * 0.1,
+        "audio_lengths": np.asarray([n_samples], np.int32),
+        "verts": rng.normal(size=(1, n_frames, N_VERTS // 3, 3)).astype(np.float32) * 0.01,
+        "frame_lengths": np.asarray([n_frames], np.int32),
+        "template_vert": rng.normal(size=(1, N_VERTS // 3, 3)).astype(np.float32) * 0.01,
+        "one_hot": np.eye(N_ONEHOT, dtype=np.float32)[[0]],
+    }
+    state = exp.init_state(b)
+    b = shard_batch(exp.mesh, b)
+    key = jax.random.PRNGKey(0)
+    state, m = exp.train_step(state, b, key)
+    float(m["loss"])  # compile + drain
+    n = 10
+    tic = time.perf_counter()
+    for i in range(n):
+        state, m = exp.train_step(state, b, jax.random.fold_in(key, i))
+    loss = float(m["loss"])
+    wall = (time.perf_counter() - tic) / n
+    return {
+        "metric": "faceformer train step (10s clip, bs=1, fwd+bwd through the AR scan)",
+        "value": round(wall * 1e3, 1), "unit": "ms/step",
+        "vs_baseline": None,
+        "detail": {"frames": n_frames, "loss": round(loss, 4)},
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--suite", action="store_true", help="run all benchmarks")
@@ -199,6 +244,7 @@ def main():
             "voca": bench_voca(),
             "faceformer_10s_bs1": bench_faceformer_streaming(10.0, 1),
             "train_step": bench_train_step(),
+            "faceformer_train": bench_faceformer_train(),
         }
         result["detail"]["suite"] = extras
     print(json.dumps({

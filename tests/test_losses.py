@@ -49,11 +49,8 @@ def test_masked_loss_matches_unmasked_on_full_batch():
     mask = jnp.ones((1, 6), dtype=jnp.float32)
     out = masked_faceformer_loss(jnp.asarray(pred), jnp.asarray(gt), mask)
     ref = FaceFormerLoss()(jnp.asarray(pred), jnp.asarray(gt))
-    np.testing.assert_allclose(float(out["rec_loss"]), float(ref["rec_loss"]), rtol=1e-5)
-    # velocity: masked version pairs every (t, t+1); reference pairs (0,1),(2,3)...
-    # they agree when differences are computed on even boundaries only if equal;
-    # rec must match exactly, loss composition identical weights
-    assert np.isfinite(float(out["loss"]))
+    for key in ("rec_loss", "vel_loss", "loss"):
+        np.testing.assert_allclose(float(out[key]), float(ref[key]), rtol=1e-5)
 
 
 def test_masked_loss_ignores_padding():
