@@ -98,10 +98,22 @@ def masked_faceformer_loss(
     }
 
 
-def mse_error(pred: jnp.ndarray, gt: jnp.ndarray, n_verts: int = 5023) -> jnp.ndarray:
+def mse_error(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    n_verts: int = 5023,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Validation "err" metric: mean over items of the mean squared difference
     over the flattened (n_verts*3,) vertex vector
-    (reference: src/model/lightning_model.py:119-125, hardcoded 5023*3)."""
-    pred = pred.reshape(-1, n_verts * 3).astype(jnp.float32)
-    gt = gt.reshape(-1, n_verts * 3).astype(jnp.float32)
-    return jnp.mean(jnp.mean(jnp.square(pred - gt), axis=1))
+    (reference: src/model/lightning_model.py:119-125, hardcoded 5023*3).
+    ``frame_mask`` restricts the item mean to valid frames in padded batches
+    (the bs=1 reference never pads)."""
+    per_item_shape = (-1, n_verts * 3)
+    p = pred.reshape(per_item_shape).astype(jnp.float32)
+    g = gt.reshape(per_item_shape).astype(jnp.float32)
+    per_item = jnp.mean(jnp.square(p - g), axis=1)
+    if frame_mask is None:
+        return jnp.mean(per_item)
+    mask = frame_mask.reshape(-1)
+    return jnp.sum(per_item * mask) / jnp.maximum(jnp.sum(mask), 1.0)

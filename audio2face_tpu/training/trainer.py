@@ -231,7 +231,7 @@ class Audio2FaceExperiment:
                         params, state.batch_stats, batch, train=True, rngs=rngs
                     )
                     loss = self._compute_loss(pred, verts, fmask)
-                    err = mse_error(pred, verts, self.config.vertex_count // 3)
+                    err = mse_error(pred, verts, self.config.vertex_count // 3, fmask)
                     return loss["loss"], (loss, err, new_stats)
 
                 (_, (loss, err, new_stats)), grads = jax.value_and_grad(
@@ -260,7 +260,7 @@ class Audio2FaceExperiment:
                     state.params, state.batch_stats, batch, train=False
                 )
                 loss = self._compute_loss(pred, verts, fmask)
-                err = mse_error(pred, verts, self.config.vertex_count // 3)
+                err = mse_error(pred, verts, self.config.vertex_count // 3, fmask)
                 return dict(loss, err=err)
 
             self._jit_cache[key] = _step
@@ -278,7 +278,7 @@ class Audio2FaceExperiment:
                 pred, fmask, _, verts = self._apply(
                     state.params, state.batch_stats, batch, train=False
                 )
-                err = mse_error(pred, verts, self.config.vertex_count // 3)
+                err = mse_error(pred, verts, self.config.vertex_count // 3, fmask)
                 return pred / 100.0, err
 
             self._jit_cache[key] = _step

@@ -63,7 +63,9 @@ def main() -> None:
     pred, err = experiment.predict(state, batch)
     pred = np.asarray(pred)
     if experiment.is_faceformer:
-        pred = pred.reshape(-1, pred.shape[-2], 3)
+        # trim bucket padding to the clip's valid frames
+        n_valid = int(batch["frame_lengths"][0])
+        pred = pred.reshape(-1, pred.shape[-2], 3)[:n_valid]
     print(f"predict_rec_loss: {float(err)}")
 
     log_dir = experiment.log_dir
