@@ -133,6 +133,8 @@ def _flash_kernel(
     k_ref,  # VMEM (1, block_k, d_pad)
     v_ref,  # VMEM (1, block_k, d_pad)
     o_ref,  # VMEM (1, block_q, d_pad)
+    lse_ref,  # VMEM (1, block_q, 128) f32 — logsumexp per row, lane-broadcast
+              # (Mosaic tiling requires the trailing 128 lanes)
     m_scr,  # VMEM (block_q, 128) f32
     l_scr,  # VMEM (block_q, 128) f32
     acc_scr,  # VMEM (block_q, d_pad) f32
@@ -218,6 +220,7 @@ def _flash_kernel(
     def _finalize():
         l = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -236,8 +239,12 @@ def flash_attention_pallas(
     block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
-    """Pallas flash attention. q,k,v: (B, H, Tq/Tk, D) -> (B, H, Tq, D)."""
+    """Pallas flash attention. q,k,v: (B, H, Tq/Tk, D) -> (B, H, Tq, D).
+
+    ``return_lse`` additionally returns the per-row logsumexp (B, H, Tq) —
+    the residual the Pallas backward needs."""
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
     if sm_scale is None:
@@ -299,7 +306,10 @@ def flash_attention_pallas(
             pl.BlockSpec((1, block_k, d_pad), lambda bh, iq, ik, *refs: (bh, ik, 0)),
             pl.BlockSpec((1, block_k, d_pad), lambda bh, iq, ik, *refs: (bh, ik, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ik, *refs: (bh, iq, 0)),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ik, *refs: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *refs: (bh, iq, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -307,10 +317,13 @@ def flash_attention_pallas(
         ],
     )
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, t_q_pad, d_pad), out_dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t_q_pad, d_pad), out_dtype),
+            jax.ShapeDtypeStruct((b * h, t_q_pad, 128), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -322,7 +335,297 @@ def flash_attention_pallas(
         interpret=interpret,
     )(kvlen_bh, slopes_bh, qf, kf, vf)
 
-    return out.reshape(b, h, t_q_pad, d_pad)[:, :, :t_q, :d]
+    out = out.reshape(b, h, t_q_pad, d_pad)[:, :, :t_q, :d]
+    if return_lse:
+        return out, lse[:, :, 0].reshape(b, h, t_q_pad)[:, :, :t_q]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels (flash attention dq / dk,dv)
+# ---------------------------------------------------------------------------
+
+
+def _bias_and_mask(s, row, col, kvlen, slope, *, causal, alibi_period, may_mask):
+    """Shared score post-processing for the backward kernels: returns the
+    biased scores and the validity mask (None when nothing can be masked)."""
+    if alibi_period is not None:
+        d = row - col
+        qd = jax.lax.div(d, alibi_period)
+        rd = d - qd * alibi_period
+        qd = qd - jnp.logical_and(rd != 0, d < 0).astype(jnp.int32)
+        s = s - slope * qd.astype(jnp.float32)
+    mask = None
+    if causal or may_mask:
+        mask = col < kvlen
+        if causal:
+            mask = jnp.logical_and(mask, col <= row)
+    return s, mask
+
+
+def _flash_bwd_dkdv_kernel(
+    kvlen_ref, slope_ref,
+    q_ref,  # (1, block_q, d_pad)
+    k_ref,  # (1, block_k, d_pad)
+    v_ref,  # (1, block_k, d_pad)
+    do_ref,  # (1, block_q, d_pad)
+    lse_ref,  # (1, block_q, 128) lane-broadcast
+    delta_ref,  # (1, block_q, 128) lane-broadcast; D = rowsum(dO * O)
+    dk_ref,  # (1, block_k, d_pad)
+    dv_ref,  # (1, block_k, d_pad)
+    dk_scr, dv_scr,
+    *,
+    causal, alibi_period, sm_scale, block_q, block_k, n_q_blocks, precision, may_mask,
+    q_len,
+):
+    bh = pl.program_id(0)
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+    kvlen = kvlen_ref[bh]
+
+    # under causality, q blocks strictly above this k block contribute nothing
+    first_needed = (ik * block_k) // block_q if causal else 0
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(iq >= first_needed)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]  # (block_q, 1)
+        delta = delta_ref[0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * sm_scale
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        slope = slope_ref[bh] if alibi_period is not None else None
+        s, mask = _bias_and_mask(
+            s, row, col, kvlen, slope,
+            causal=causal, alibi_period=alibi_period, may_mask=may_mask,
+        )
+        p = jnp.exp(s - lse)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        if q_len % block_q != 0:
+            # padded q rows carry lse=0 and could overflow exp; their dO/D are
+            # zero but inf * 0 = NaN, so zero p explicitly
+            p = jnp.where(row < q_len, p, 0.0)
+
+        # dv += p^T dO ; ds = p * (dO v^T - D) * scale ; dk += ds^T q
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - delta) * sm_scale
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(iq == n_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    kvlen_ref, slope_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *,
+    causal, alibi_period, sm_scale, block_q, block_k, n_k_blocks, precision, may_mask,
+):
+    bh = pl.program_id(0)
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    kvlen = kvlen_ref[bh]
+
+    len_bound = jax.lax.div(jnp.maximum(kvlen - 1, 0), block_k)
+    last_needed = jnp.minimum(n_k_blocks - 1, len_bound)
+    if causal:
+        last_needed = jnp.minimum(last_needed, (iq * block_q + block_q - 1) // block_k)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(ik <= last_needed)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]
+        delta = delta_ref[0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * sm_scale
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        slope = slope_ref[bh] if alibi_period is not None else None
+        s, mask = _bias_and_mask(
+            s, row, col, kvlen, slope,
+            causal=causal, alibi_period=alibi_period, may_mask=may_mask,
+        )
+        p = jnp.exp(s - lse)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - delta) * sm_scale
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(ik == jnp.maximum(last_needed, 0))
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def flash_attention_bwd_pallas(
+    q, k, v, out, lse, g,
+    *,
+    causal=False, alibi_period=None, kv_lengths=None, sm_scale=None,
+    block_q: int = 512, block_k: int = 512, interpret: bool = False,
+):
+    """Pallas flash-attention backward: returns (dq, dk, dv)."""
+    b, h, t_q, d = q.shape
+    t_k = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    d_pad = max(_round_up(d, 64), 64)
+    block_q = min(block_q, _round_up(t_q, 8))
+    block_k = min(block_k, _round_up(t_k, 128))
+    t_q_pad = _round_up(t_q, block_q)
+    t_k_pad = _round_up(t_k, block_k)
+
+    def pad(x, t_pad):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, t_pad - x.shape[2]), (0, d_pad - d))
+        ).reshape(b * h, t_pad, d_pad)
+
+    qf, dof = pad(q, t_q_pad), pad(g, t_q_pad)
+    kf, vf = pad(k, t_k_pad), pad(v, t_k_pad)
+    # D = rowsum(dO * O); padded rows give 0. Both D and lse are stored
+    # lane-broadcast to 128 (Mosaic tiling).
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, t_q_pad - t_q))).reshape(b * h, t_q_pad)
+    delta = jnp.broadcast_to(delta[..., None], (b * h, t_q_pad, 128))
+    lse_f = jnp.pad(lse, ((0, 0), (0, 0), (0, t_q_pad - t_q))).reshape(b * h, t_q_pad)
+    lse_f = jnp.broadcast_to(lse_f[..., None], (b * h, t_q_pad, 128))
+
+    if kv_lengths is None:
+        kvlen = jnp.full((b,), t_k, dtype=jnp.int32)
+    else:
+        kvlen = kv_lengths.astype(jnp.int32)
+    kvlen_bh = jnp.repeat(kvlen, h)
+    slopes_bh = jnp.tile(jnp.asarray(alibi_slopes(h)), b)
+
+    n_q_blocks = t_q_pad // block_q
+    n_k_blocks = t_k_pad // block_k
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if q.dtype in (jnp.bfloat16, jnp.float16)
+        else jax.lax.Precision.HIGHEST
+    )
+    # padded q rows beyond t_q must not contribute to dk/dv: their p would be
+    # exp(0 - 0) = 1 without masking, so always mask in the dkdv pass when
+    # rows are padded — done by extending the causal/may_mask path with the
+    # row-validity test folded into `col < kvlen`? No: rows are on the other
+    # axis. Instead zero their dO and ds via delta/do padding: dO rows are
+    # zero-padded, so dv += p^T dO gets 0, and ds = p * (0 - 0) = 0. Safe.
+    common = dict(
+        causal=causal, alibi_period=alibi_period, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, precision=precision,
+        may_mask=kv_lengths is not None or t_k_pad != t_k,
+    )
+
+    dkdv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * h, n_k_blocks, n_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, ik, iq, *r: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ik, iq, *r: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ik, iq, *r: (bh, ik, 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, ik, iq, *r: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq, *r: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, ik, iq, *r: (bh, iq, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ik, iq, *r: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, ik, iq, *r: (bh, ik, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkdv_kernel, n_q_blocks=n_q_blocks, q_len=t_q, **common
+        ),
+        grid_spec=dkdv_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t_k_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t_k_pad, d_pad), q.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvlen_bh, slopes_bh, qf, kf, vf, dof, lse_f, delta)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * h, n_q_blocks, n_k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ik, *r: (bh, iq, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, iq, ik, *r: (bh, ik, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda bh, iq, ik, *r: (bh, ik, 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ik, *r: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *r: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh, iq, ik, *r: (bh, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ik, *r: (bh, iq, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, n_k_blocks=n_k_blocks, **common),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, t_q_pad, d_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvlen_bh, slopes_bh, qf, kf, vf, dof, lse_f, delta)
+
+    def unpad_q(x):
+        return x.reshape(b, h, t_q_pad, d_pad)[:, :, :t_q, :d]
+
+    def unpad_k(x):
+        return x.reshape(b, h, t_k_pad, d_pad)[:, :, :t_k, :d]
+
+    return unpad_q(dq), unpad_k(dk), unpad_k(dv)
 
 
 # ---------------------------------------------------------------------------
@@ -354,21 +657,36 @@ def _flash_attention_ad(q, k, v, causal, alibi_period, kv_lengths, sm_scale, int
 
 
 def _flash_fwd(q, k, v, causal, alibi_period, kv_lengths, sm_scale, interpret):
-    out = _flash_attention_ad(q, k, v, causal, alibi_period, kv_lengths, sm_scale, interpret)
-    return out, (q, k, v, kv_lengths)
+    out, lse = flash_attention_pallas(
+        q, k, v, causal=causal, alibi_period=alibi_period,
+        kv_lengths=kv_lengths, sm_scale=sm_scale, interpret=interpret,
+        return_lse=True,
+    )
+    return out, (q, k, v, out, lse, kv_lengths)
 
 
 def _flash_bwd(causal, alibi_period, sm_scale, interpret, residuals, g):
-    q, k, v, kv_lengths = residuals
+    q, k, v, out, lse, kv_lengths = residuals
+    t_q, t_k = q.shape[2], k.shape[2]
+    # short sequences: XLA's rematerialized backward is faster (kernel-launch
+    # overhead dominates) and its (Tq, Tk) buffers are small. Long sequences:
+    # the Pallas kernels keep memory flat and win on time.
+    if t_q * t_k <= 1024 * 1024:
 
-    def ref(q, k, v, kv_lengths):
-        return mha_reference(
-            q, k, v, causal=causal, alibi_period=alibi_period,
-            kv_lengths=kv_lengths, sm_scale=sm_scale,
-        )
+        def ref(q, k, v):
+            return mha_reference(
+                q, k, v, causal=causal, alibi_period=alibi_period,
+                kv_lengths=kv_lengths, sm_scale=sm_scale,
+            )
 
-    _, vjp = jax.vjp(ref, q, k, v, kv_lengths)
-    dq, dk, dv, _ = vjp(g)
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    dq, dk, dv = flash_attention_bwd_pallas(
+        q, k, v, out, lse, g,
+        causal=causal, alibi_period=alibi_period,
+        kv_lengths=kv_lengths, sm_scale=sm_scale, interpret=interpret,
+    )
     return dq, dk, dv, None
 
 

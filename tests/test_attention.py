@@ -145,3 +145,93 @@ def test_flash_attention_grad_flows():
 
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_forward_lse(allclose=np.testing.assert_allclose):
+    """return_lse emits the per-row logsumexp of the (biased, masked) scores."""
+    from audio2face_tpu.ops.attention import flash_attention_pallas
+
+    rng = np.random.default_rng(5)
+    b, h, t, d = 1, 2, 37, 16
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    out, lse = flash_attention_pallas(
+        q, q, q, causal=True, alibi_period=60, block_q=32, block_k=32,
+        interpret=True, return_lse=True,
+    )
+    # direct lse
+    import math
+
+    s = np.einsum("bhqd,bhkd->bhqk", q, q) / math.sqrt(d)
+    from audio2face_tpu.ops.attention import alibi_period_bias
+
+    s = s + np.asarray(alibi_period_bias(h, t, t, 60))[None]
+    i, j = np.arange(t)[:, None], np.arange(t)[None, :]
+    s = np.where((j <= i)[None, None], s, -1e30)
+    ref = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)[..., None][..., 0]
+    allclose(np.asarray(lse), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("alibi_period", [None, 60])
+@pytest.mark.parametrize("t,d", [(37, 16), (100, 64)])
+def test_pallas_backward_matches_xla_grad(causal, alibi_period, t, d):
+    """Pallas dq/dk/dv kernels vs jax.grad of the XLA reference."""
+    from audio2face_tpu.ops.attention import (
+        flash_attention_bwd_pallas,
+        flash_attention_pallas,
+    )
+
+    rng = np.random.default_rng(6)
+    b, h = 2, 3
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+
+    def ref(q, k, v):
+        return mha_reference(q, k, v, causal=causal, alibi_period=alibi_period)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+
+    out, lse = flash_attention_pallas(
+        q, k, v, causal=causal, alibi_period=alibi_period,
+        block_q=32, block_k=64, interpret=True, return_lse=True,
+    )
+    dq, dk, dv = flash_attention_bwd_pallas(
+        q, k, v, out, lse, g, causal=causal, alibi_period=alibi_period,
+        block_q=32, block_k=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_backward_kv_lengths():
+    from audio2face_tpu.ops.attention import (
+        flash_attention_bwd_pallas,
+        flash_attention_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    b, h, t, d = 2, 2, 50, 32
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    lengths = jnp.asarray([50, 23], jnp.int32)
+
+    def ref(q, k, v):
+        return mha_reference(q, k, v, kv_lengths=lengths)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    out, lse = flash_attention_pallas(
+        q, k, v, kv_lengths=lengths, block_q=32, block_k=32, interpret=True, return_lse=True
+    )
+    dq, dk, dv = flash_attention_bwd_pallas(
+        q, k, v, out, lse, g, kv_lengths=lengths, block_q=32, block_k=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=2e-3, atol=2e-4)
