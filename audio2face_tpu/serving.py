@@ -18,14 +18,13 @@ per length; this module gives the production path:
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio2face_tpu.models.faceformer import AUDIO_SR, FPS, FaceFormer, frame_count
+from audio2face_tpu.models.faceformer import AUDIO_SR, FaceFormer
 
 
 def _round_up(x: int, m: int) -> int:
