@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from audio2face_tpu.models.layers import dot_precision
 from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
 from audio2face_tpu.ops.attention import decode_step_attention
 from audio2face_tpu.ops.dsp import wav2vec2_zero_mean_unit_var
@@ -129,8 +130,13 @@ class FaceFormer(nn.Module):
             train=train, apply_spec_augment=train, use_pallas=use_pallas,
         )  # (B, T, 768)
 
+        prec = dot_precision(self.dtype)
+
+        def mm(a, b):
+            return jnp.matmul(a, b, precision=prec)
+
         afm_k, afm_b = self._dense_params("audio_feature_map", 768, d)
-        memory = hidden @ afm_k + afm_b  # (B, T, 64)
+        memory = mm(hidden, afm_k) + afm_b  # (B, T, 64)
 
         # ---- decoder params ---------------------------------------------
         obj_k, _ = self._dense_params("obj_vector", self.n_onehot, d, bias=False)
@@ -160,12 +166,12 @@ class FaceFormer(nn.Module):
 
         # cross attention hoisted out of the scan: diagonal mask => weight-1
         # softmax over memory[t] only (see module docstring)
-        cross = ((memory @ cv_k + cv_b) @ co_k + co_b).astype(compute_dtype)  # (B, T, 64)
+        cross = (mm(mm(memory, cv_k) + cv_b, co_k) + co_b).astype(compute_dtype)  # (B, T, 64)
 
         # composed 64x64 feedback: vertice_map(vertice_map_r(h)) =
         # h @ (Wr @ Wm) + (br @ Wm + bm)
-        fb_k = (vmr_k @ vm_k).astype(compute_dtype)
-        fb_b = (vmr_b @ vm_k + vm_b).astype(compute_dtype)
+        fb_k = mm(vmr_k, vm_k).astype(compute_dtype)
+        fb_b = (mm(vmr_b, vm_k) + vm_b).astype(compute_dtype)
 
         # decoder params in compute precision (params stay f32 in the tree)
         q_k, q_b, k_k, k_b, v_k, v_b, o_k, o_b, f1_k, f1_b, f2_k, f2_b = (
@@ -173,7 +179,7 @@ class FaceFormer(nn.Module):
             for p in (q_k, q_b, k_k, k_b, v_k, v_b, o_k, o_b, f1_k, f1_b, f2_k, f2_b)
         )
 
-        style = (one_hot @ obj_k).astype(compute_dtype)  # (B, 64)
+        style = mm(one_hot, obj_k).astype(compute_dtype)  # (B, 64)
         pe = jnp.asarray(periodic_positional_encoding(), dtype=compute_dtype)
 
         hd = d // N_HEADS
@@ -222,14 +228,14 @@ class FaceFormer(nn.Module):
                 r = jax.random.split(step_rng, 5)
                 x = drop(r[0], x)  # PPE dropout (faceformer.py:72,86-88)
 
-            q = (x @ q_k + q_b).reshape(bsz, N_HEADS, hd)
-            k = (x @ k_k + k_b).reshape(bsz, N_HEADS, hd)
-            v = (x @ v_k + v_b).reshape(bsz, N_HEADS, hd)
+            q = (mm(x, q_k) + q_b).reshape(bsz, N_HEADS, hd)
+            k = (mm(x, k_k) + k_b).reshape(bsz, N_HEADS, hd)
+            v = (mm(x, v_k) + v_b).reshape(bsz, N_HEADS, hd)
             k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k, t, axis=2)
             v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v, t, axis=2)
 
             attn = decode_step_attention(q, k_cache, v_cache, t, alibi_period=PERIOD)
-            sa = attn.reshape(bsz, d) @ o_k + o_b
+            sa = mm(attn.reshape(bsz, d), o_k) + o_b
             if train:
                 sa = drop(r[1], sa)  # torch decoder-layer dropout1
             h = layer_norm(x + sa, ln1)
@@ -238,15 +244,15 @@ class FaceFormer(nn.Module):
             if train:
                 ca = drop(r[2], ca)  # dropout2
             h = layer_norm(h + ca, ln2)
-            ff = jnp.maximum(h @ f1_k + f1_b, 0.0)
+            ff = jnp.maximum(mm(h, f1_k) + f1_b, 0.0)
             if train:
                 ff = drop(r[3], ff)  # FFN inner dropout
-            ff = ff @ f2_k + f2_b
+            ff = mm(ff, f2_k) + f2_b
             if train:
                 ff = drop(r[4], ff)  # dropout3
             h = layer_norm(h + ff, ln3)
 
-            emb_next = h @ fb_k + fb_b + style
+            emb_next = mm(h, fb_k) + fb_b + style
             return (emb_next, k_cache, v_cache), h
 
         if train and self.remat_scan:
@@ -269,7 +275,10 @@ class FaceFormer(nn.Module):
     def _vertex_head(self, hs, vmr_k, vmr_b, template, bsz, n_frames, frame_lengths, lengths):
         """Vertex head as one big MXU matmul after the decode loop."""
         d = FEATURE_DIM
-        verts = (hs.reshape(-1, d) @ vmr_k + vmr_b).reshape(bsz, n_frames, -1)
+        verts = (
+            jnp.matmul(hs.reshape(-1, d), vmr_k, precision=dot_precision(self.dtype))
+            + vmr_b
+        ).reshape(bsz, n_frames, -1)
         verts = verts.astype(jnp.float32) + template.reshape(bsz, 1, -1)
         verts = verts.reshape(bsz, n_frames, -1, 3)
 

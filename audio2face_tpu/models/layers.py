@@ -15,6 +15,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def dot_precision(dtype) -> jax.lax.Precision | None:
+    """Matmul precision for a compute dtype: bf16/f16 use the native fast
+    path (None = backend default); f32 requests HIGHEST, because TPU's
+    default silently truncates f32 matmul inputs to bf16 — fatal for the
+    <1e-4 checkpoint-parity bar."""
+    if dtype is not None and jnp.dtype(dtype) in (
+        jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)
+    ):
+        return None
+    return jax.lax.Precision.HIGHEST
+
+
 class TorchConv(nn.Module):
     """Conv2d with torch-style explicit symmetric padding; NHWC/HWIO."""
 
@@ -34,6 +46,7 @@ class TorchConv(nn.Module):
             padding=[(p, p) for p in self.padding],
             use_bias=self.use_bias,
             dtype=self.dtype,
+            precision=dot_precision(self.dtype),
             name="conv",
         )(x)
 
@@ -66,11 +79,12 @@ class VertexDecoderMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(72, dtype=self.dtype, name="fc0")(x)
-        x = nn.Dense(128, dtype=self.dtype, name="fc1")(x)
+        prec = dot_precision(self.dtype)
+        x = nn.Dense(72, dtype=self.dtype, precision=prec, name="fc0")(x)
+        x = nn.Dense(128, dtype=self.dtype, precision=prec, name="fc1")(x)
         x = jnp.tanh(x)
-        x = nn.Dense(50, dtype=self.dtype, name="fc2")(x)
-        x = nn.Dense(self.n_verts, dtype=self.dtype, name="fc3")(x)
+        x = nn.Dense(50, dtype=self.dtype, precision=prec, name="fc2")(x)
+        x = nn.Dense(self.n_verts, dtype=self.dtype, precision=prec, name="fc3")(x)
         return x
 
 
@@ -111,12 +125,13 @@ class ScanLSTM(nn.Module):
         b_ih = self.param("b_ih", torch_lstm_init, (h4,))
         b_hh = self.param("b_hh", torch_lstm_init, (h4,))
 
+        prec = dot_precision(self.dtype)
         # hoist the input projection out of the scan: one big MXU matmul
-        x_proj = x @ w_ih + b_ih + b_hh  # (B, T, 4H)
+        x_proj = jnp.matmul(x, w_ih, precision=prec) + b_ih + b_hh  # (B, T, 4H)
 
         def step(carry, xt):
             h, c = carry
-            gates = xt + h @ w_hh
+            gates = xt + jnp.matmul(h, w_hh, precision=prec)
             i, fg, g, o = jnp.split(gates, 4, axis=-1)
             i = jax.nn.sigmoid(i)
             fg = jax.nn.sigmoid(fg)

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from audio2face_tpu.models.layers import dot_precision
 from audio2face_tpu.ops.attention import flash_attention
 from audio2face_tpu.ops.dsp import interp_linear
 
@@ -112,7 +113,8 @@ class FeatureEncoder(nn.Module):
         for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
             h = nn.Conv(
                 dim, (k,), strides=(s,), padding="VALID", use_bias=cfg.conv_bias,
-                dtype=self.dtype, name=f"conv{i}",
+                dtype=self.dtype, precision=dot_precision(self.dtype),
+                name=f"conv{i}",
             )(h)
             if feat_lengths is not None:
                 feat_lengths = (feat_lengths - k) // s + 1
@@ -132,7 +134,7 @@ class FeatureProjection(nn.Module):
     def __call__(self, x, *, train: bool = False):
         cfg = self.config
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
-        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="projection")(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, precision=dot_precision(self.dtype), name="projection")(x)
         if train:
             x = nn.Dropout(0.1, deterministic=False)(x)
         return x
@@ -156,7 +158,8 @@ class PositionalConvEmbedding(nn.Module):
         pad = k // 2
         h = nn.Conv(
             cfg.hidden_size, (k,), strides=(1,), padding=[(pad, pad)],
-            feature_group_count=cfg.pos_conv_groups, dtype=self.dtype, name="conv",
+            feature_group_count=cfg.pos_conv_groups, dtype=self.dtype,
+            precision=dot_precision(self.dtype), name="conv",
         )(x)
         if k % 2 == 0:
             h = h[:, :-1]  # HF SamePadLayer removes the extra step for even k
@@ -176,10 +179,11 @@ class EncoderLayer(nn.Module):
         nh = cfg.num_heads
         hd = d // nh
 
+        prec = dot_precision(self.dtype)
         residual = x
-        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(x)
+        q = nn.Dense(d, dtype=self.dtype, precision=prec, name="q_proj")(x)
+        k = nn.Dense(d, dtype=self.dtype, precision=prec, name="k_proj")(x)
+        v = nn.Dense(d, dtype=self.dtype, precision=prec, name="v_proj")(x)
 
         def split_heads(t):
             b, s, _ = t.shape
@@ -191,18 +195,18 @@ class EncoderLayer(nn.Module):
         )
         b, _, s, _ = attn.shape
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
-        attn = nn.Dense(d, dtype=self.dtype, name="out_proj")(attn)
+        attn = nn.Dense(d, dtype=self.dtype, precision=prec, name="out_proj")(attn)
         if train:
             attn = nn.Dropout(0.1, deterministic=False)(attn)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(
             residual + attn
         )
 
-        ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        ff = nn.Dense(cfg.intermediate_size, dtype=self.dtype, precision=prec, name="intermediate_dense")(x)
         ff = jax.nn.gelu(ff, approximate=False)
         if train:
             ff = nn.Dropout(0.1, deterministic=False)(ff)
-        ff = nn.Dense(d, dtype=self.dtype, name="output_dense")(ff)
+        ff = nn.Dense(d, dtype=self.dtype, precision=prec, name="output_dense")(ff)
         if train:
             ff = nn.Dropout(0.1, deterministic=False)(ff)
         return nn.LayerNorm(

@@ -65,6 +65,17 @@ def alibi_slopes(n_heads: int) -> np.ndarray:
     return np.asarray(slopes, dtype=np.float32)
 
 
+def _dot_precision(dtype) -> jax.lax.Precision:
+    """f32 inputs keep full f32 MXU passes (the <1e-4 parity bar); bf16/f16
+    inputs use the native fast path. TPU's DEFAULT precision truncates f32
+    matmul inputs to bf16, which silently costs ~1e-2 accuracy."""
+    return (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(dtype) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16))
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def alibi_period_bias(
     n_heads: int, t_q: int, t_k: int, period: int, q_offset: int = 0
 ) -> jnp.ndarray:
@@ -101,7 +112,11 @@ def mha_reference(
     t_k = k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    precision = _dot_precision(q.dtype)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
     s = s * sm_scale
 
     i = jnp.arange(t_q)[:, None] + q_offset
@@ -118,7 +133,9 @@ def mha_reference(
         mask = mask & (j[None, None] < kv_lengths[:, None, None, None])
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, precision=precision
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -752,7 +769,11 @@ def decode_step_attention(
     b, hh, t_max, d = k_cache.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
-    s = jnp.einsum("bhd,bhkd->bhk", q, k_cache, preferred_element_type=jnp.float32)
+    precision = _dot_precision(q.dtype)
+    s = jnp.einsum(
+        "bhd,bhkd->bhk", q, k_cache,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
     s = s * sm_scale
     j = jnp.arange(t_max)[None, None, :]
     if alibi_period is not None:
@@ -761,4 +782,6 @@ def decode_step_attention(
         s = s - slopes[None, :, None] * dist
     s = jnp.where(j <= step, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhk,bhkd->bhd", p.astype(v_cache.dtype), v_cache)
+    return jnp.einsum(
+        "bhk,bhkd->bhd", p.astype(v_cache.dtype), v_cache, precision=precision
+    )
