@@ -51,3 +51,55 @@ def test_lightning_ckpt_roundtrip_voca(tmp_path):
 def test_convert_state_dict_dispatch():
     with pytest.raises(KeyError):
         convert_state_dict("nope", {})
+
+
+@pytest.mark.parametrize("modelname,mirror_cls", [
+    ("audio2mesh", "TorchAudio2Mesh"),
+    ("voca", "TorchVoca"),
+    ("song2face", "TorchSong2Face"),
+])
+def test_export_roundtrip(modelname, mirror_cls):
+    """torch -> jax (convert) -> torch (export) must be the identity, and the
+    exported dict must load into the reference-architecture torch module."""
+    import tests.torch_mirrors as mirrors
+    from audio2face_tpu.compat.torch_convert import state_dict_to_numpy
+    from audio2face_tpu.compat.torch_export import export_state_dict
+
+    torch.manual_seed(42)
+    mirror = getattr(mirrors, mirror_cls)(300, 12)
+    original = state_dict_to_numpy(mirror)
+    variables = convert_state_dict(modelname, original)
+    exported = export_state_dict(modelname, variables)
+
+    for k, v in original.items():
+        np.testing.assert_allclose(exported[k], v, atol=1e-6, err_msg=k)
+    # and it loads back into torch cleanly
+    mirror.load_state_dict({k: torch.as_tensor(v) for k, v in exported.items()})
+
+
+def test_export_faceformer_decoder_roundtrip():
+    """Decoder weights survive torch -> jax -> torch (cross q/k are inert
+    under the diagonal mask and export as zeros)."""
+    from audio2face_tpu.compat.faceformer_convert import convert_faceformer
+    from audio2face_tpu.compat.torch_convert import state_dict_to_numpy
+    from audio2face_tpu.compat.torch_export import export_faceformer
+    from tests.torch_mirrors import TorchFaceFormer
+
+    torch.manual_seed(1)
+    mirror = TorchFaceFormer(300, 12)
+    original = state_dict_to_numpy(mirror)
+    variables = convert_faceformer(original)
+    exported = export_faceformer(variables)
+    layer = "transformer_decoder.layers.0"
+    for k in (
+        "audio_feature_map.weight", "vertice_map.weight", "vertice_map_r.bias",
+        "obj_vector.weight", f"{layer}.self_attn.in_proj_weight",
+        f"{layer}.self_attn.out_proj.bias", f"{layer}.linear1.weight",
+        f"{layer}.norm3.weight", f"{layer}.multihead_attn.out_proj.weight",
+    ):
+        np.testing.assert_allclose(exported[k], original[k], atol=1e-6, err_msg=k)
+    # value part of the packed cross projection survives; q/k are zeroed
+    np.testing.assert_allclose(
+        exported[f"{layer}.multihead_attn.in_proj_weight"][600:],
+        original[f"{layer}.multihead_attn.in_proj_weight"][600:], atol=1e-6,
+    )
