@@ -89,14 +89,21 @@ def export_song2face(variables: Mapping) -> dict[str, np.ndarray]:
 
 
 def export_faceformer(variables: Mapping) -> dict[str, np.ndarray]:
-    """Decoder-side export (audio_encoder export would additionally need the
-    HF weight-norm re-parameterization; the decoder is what training here
-    modifies most). The cross-attention q/k projections are mathematically
-    inert under the reference's diagonal memory mask and are exported as
-    zeros."""
+    """Full-model export: decoder params plus the ``audio_encoder.*`` key set
+    the reference's Faceformer expects (src/model/faceformer.py:104-109 loads
+    the HF Wav2Vec2Model under that attribute), including the weight-norm
+    re-parameterization of the positional conv. The cross-attention q/k
+    projections are mathematically inert under the reference's diagonal
+    memory mask and are exported as zeros."""
+    from audio2face_tpu.compat.wav2vec2_convert import export_wav2vec2
+
     p = variables["params"]
     out: dict = {}
     d = p["dec_q_kernel"].shape[0]
+
+    if "audio_encoder" in p:
+        for k, v in export_wav2vec2(p["audio_encoder"]).items():
+            out[f"audio_encoder.{k}"] = v
 
     def put(torch_name, flax_name, bias=True):
         out[f"{torch_name}.weight"] = _np(p[f"{flax_name}_kernel"]).T

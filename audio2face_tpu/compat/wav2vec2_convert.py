@@ -100,3 +100,78 @@ def convert_wav2vec2(sd: Mapping[str, np.ndarray], num_layers: int = 12) -> dict
 
 def strip_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> dict[str, np.ndarray]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: Flax Wav2Vec2Encoder params -> HF state-dict names.
+# ---------------------------------------------------------------------------
+
+
+def _np32(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def export_wav2vec2(params: Mapping, num_layers: int = 12) -> dict[str, np.ndarray]:
+    """Flax Wav2Vec2Encoder params -> HF ``Wav2Vec2Model`` state dict (numpy).
+
+    Exact inverse of :func:`convert_wav2vec2`; the positional conv kernel is
+    re-parameterized into torch's ``parametrizations.weight.original{0,1}``
+    weight-norm form (dim=2: per-kernel-position norm over (O, I)), so
+    ``g * v / ||v|| == w`` reproduces the folded kernel bit-for-bit at load.
+    Lets FaceFormer models trained here load into the reference's module
+    (src/model/faceformer.py:104-109 expects the full ``audio_encoder.*``
+    key set).
+    """
+    sd: dict[str, np.ndarray] = {}
+
+    fe = params["feature_encoder"]
+    n_convs = sum(1 for k in fe if k.startswith("conv"))
+    for i in range(n_convs):
+        conv = fe[f"conv{i}"]
+        sd[f"feature_extractor.conv_layers.{i}.conv.weight"] = _np32(
+            conv["kernel"]
+        ).transpose(2, 1, 0)  # (k, I, O) -> (O, I, k)
+        if "bias" in conv:
+            sd[f"feature_extractor.conv_layers.{i}.conv.bias"] = _np32(conv["bias"])
+    sd["feature_extractor.conv_layers.0.layer_norm.weight"] = _np32(fe["group_norm"]["scale"])
+    sd["feature_extractor.conv_layers.0.layer_norm.bias"] = _np32(fe["group_norm"]["bias"])
+
+    fp = params["feature_projection"]
+    sd["feature_projection.layer_norm.weight"] = _np32(fp["layer_norm"]["scale"])
+    sd["feature_projection.layer_norm.bias"] = _np32(fp["layer_norm"]["bias"])
+    sd["feature_projection.projection.weight"] = _np32(fp["projection"]["kernel"]).T
+    sd["feature_projection.projection.bias"] = _np32(fp["projection"]["bias"])
+
+    w = _np32(params["pos_conv_embed"]["conv"]["kernel"]).transpose(2, 1, 0)  # (O, I/g, k)
+    g = np.sqrt((w**2).sum(axis=(0, 1), keepdims=True))  # (1, 1, k)
+    sd["encoder.pos_conv_embed.conv.parametrizations.weight.original0"] = g
+    sd["encoder.pos_conv_embed.conv.parametrizations.weight.original1"] = np.where(
+        g > 0, w, 0.0
+    ).astype(np.float32)
+    sd["encoder.pos_conv_embed.conv.bias"] = _np32(params["pos_conv_embed"]["conv"]["bias"])
+
+    sd["encoder.layer_norm.weight"] = _np32(params["layer_norm"]["scale"])
+    sd["encoder.layer_norm.bias"] = _np32(params["layer_norm"]["bias"])
+
+    for i in range(num_layers):
+        lp = params[f"layer{i}"]
+        p = f"encoder.layers.{i}"
+        for flax_name, torch_name in (
+            ("q_proj", "attention.q_proj"),
+            ("k_proj", "attention.k_proj"),
+            ("v_proj", "attention.v_proj"),
+            ("out_proj", "attention.out_proj"),
+            ("intermediate_dense", "feed_forward.intermediate_dense"),
+            ("output_dense", "feed_forward.output_dense"),
+        ):
+            sd[f"{p}.{torch_name}.weight"] = _np32(lp[flax_name]["kernel"]).T
+            sd[f"{p}.{torch_name}.bias"] = _np32(lp[flax_name]["bias"])
+        for flax_name, torch_name in (
+            ("layer_norm", "layer_norm"),
+            ("final_layer_norm", "final_layer_norm"),
+        ):
+            sd[f"{p}.{torch_name}.weight"] = _np32(lp[flax_name]["scale"])
+            sd[f"{p}.{torch_name}.bias"] = _np32(lp[flax_name]["bias"])
+
+    sd["masked_spec_embed"] = _np32(params["masked_spec_embed"])
+    return sd

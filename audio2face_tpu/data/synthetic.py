@@ -91,3 +91,103 @@ def generate_synthetic_vocaset(
     with open(os.path.join(out_dir, "subj_seq_to_idx.pkl"), "wb") as f:
         pickle.dump(subj_seq_to_idx, f)
     return out_dir
+
+
+def generate_synthetic_face_obj(path: str, n_verts: int = 5023) -> str:
+    """Write a renderable OBJ with EXACTLY ``n_verts`` vertices.
+
+    FLAME is licensed, so the repo cannot ship ``FLAME_sample.obj``
+    (reference assets, main.py:9); this head-sized ellipsoid stands in so
+    every entry script runs green on a fresh clone. A lat/long sphere grid
+    plus two poles covers most of the count; the remainder are appended as
+    unreferenced vertices at the south pole (valid OBJ — faces only index
+    the grid)."""
+    rows = max(int(np.sqrt(max(n_verts - 2, 1))), 2)
+    cols = max((n_verts - 2) // rows, 3)
+    n_grid = rows * cols
+    verts = []
+    # head-ish scale in the renderer's camera frame (FLAME is ~0.2 m tall)
+    rx, ry, rz = 0.085, 0.115, 0.095
+    for i in range(rows):
+        theta = np.pi * (i + 1) / (rows + 1)
+        for j in range(cols):
+            phi = 2 * np.pi * j / cols
+            verts.append(
+                (
+                    rx * np.sin(theta) * np.cos(phi),
+                    ry * np.cos(theta),
+                    rz * np.sin(theta) * np.sin(phi),
+                )
+            )
+    verts.append((0.0, ry, 0.0))  # north pole
+    verts.append((0.0, -ry, 0.0))  # south pole
+    while len(verts) < n_verts:
+        verts.append((0.0, -ry, 0.0))
+    verts = np.asarray(verts[:n_verts], np.float32)
+
+    faces = []
+    north, south = n_grid, n_grid + 1
+    for j in range(cols):
+        faces.append((north, j, (j + 1) % cols))
+        base = (rows - 1) * cols
+        faces.append((south, base + (j + 1) % cols, base + j))
+    for i in range(rows - 1):
+        for j in range(cols):
+            a = i * cols + j
+            b = i * cols + (j + 1) % cols
+            c = (i + 1) * cols + j
+            d = (i + 1) * cols + (j + 1) % cols
+            faces.append((a, b, c))
+            faces.append((b, d, c))
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("# synthetic head template (FLAME stand-in)\n")
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for a, b, c in faces:
+            f.write(f"f {a + 1} {b + 1} {c + 1}\n")
+    return path
+
+
+def generate_demo_assets(
+    assets_dir: str = "assets",
+    *,
+    n_verts: int = 5023,
+    seconds: float = 2.0,
+    fps: int = FPS,
+    seed: int = 0,
+) -> dict:
+    """Materialize the out-of-box demo inputs the reference ships but this
+    repo cannot (FLAME license): a synthetic template OBJ, a matching vertex
+    animation ``verts_sample.npy`` (gentle jaw-like motion), and a tone
+    ``sample_audio.wav``. Idempotent — existing files are kept."""
+    from audio2face_tpu.utils.facemesh import FaceMesh
+
+    os.makedirs(assets_dir, exist_ok=True)
+    paths = {
+        "template": os.path.join(assets_dir, "FLAME_sample.obj"),
+        "verts": os.path.join(assets_dir, "verts_sample.npy"),
+        "audio": os.path.join(assets_dir, "sample_audio.wav"),
+    }
+    if not os.path.exists(paths["template"]):
+        generate_synthetic_face_obj(paths["template"], n_verts)
+    if not os.path.exists(paths["verts"]):
+        mesh = FaceMesh.load(paths["template"])
+        n_frames = int(seconds * fps)
+        t = np.arange(n_frames) / fps
+        open_amt = 0.004 * (0.5 - 0.5 * np.cos(2 * np.pi * 2.3 * t))
+        base = mesh.verts.astype(np.float32)
+        lower = base[:, 1] < 0.0  # lower half nods like a jaw
+        anim = np.repeat(base[None], n_frames, axis=0)
+        anim[:, lower, 1] -= open_amt[:, None]
+        np.save(paths["verts"], anim)
+    if not os.path.exists(paths["audio"]):
+        import scipy.io.wavfile as wavfile
+
+        sr = 22000
+        ts = np.arange(int(seconds * sr)) / sr
+        env = 0.4 + 0.3 * np.sin(2 * np.pi * 2.3 * ts)
+        wav = env * (np.sin(2 * np.pi * 140 * ts) + 0.3 * np.sin(2 * np.pi * 280 * ts))
+        wavfile.write(paths["audio"], sr, (wav * 16384).astype(np.int16))
+    return paths

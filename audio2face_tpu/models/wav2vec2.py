@@ -53,6 +53,14 @@ class Wav2Vec2Config:
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     mask_time_min_masks: int = 2
+    # feature-axis SpecAugment (reference branch src/model/wav2vec.py:162-173;
+    # base-960h ships mask_feature_prob=0 so it is off by default)
+    mask_feature_prob: float = 0.0
+    mask_feature_length: int = 10
+    # train-time regularization matching HF wav2vec2-base: dropout on the
+    # attention probabilities and stochastic layer skipping (LayerDrop)
+    attention_dropout: float = 0.1
+    layerdrop: float = 0.1
 
     def feat_extract_output_length(self, input_length: int) -> int:
         length = input_length
@@ -192,6 +200,10 @@ class EncoderLayer(nn.Module):
         attn = flash_attention(
             split_heads(q), split_heads(k), split_heads(v),
             kv_lengths=kv_lengths, use_pallas=use_pallas,
+            # HF wav2vec2-base trains with attention_dropout=0.1 on the
+            # softmax probabilities (routes through the XLA path)
+            dropout_rate=cfg.attention_dropout if train else 0.0,
+            dropout_rng=self.make_rng("dropout") if (train and cfg.attention_dropout > 0) else None,
         )
         b, _, s, _ = attn.shape
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
@@ -215,20 +227,27 @@ class EncoderLayer(nn.Module):
 
 
 def compute_spec_augment_mask(
-    rng: jax.Array, batch: int, seq_len: int, cfg: Wav2Vec2Config
+    rng: jax.Array,
+    batch: int,
+    seq_len: int,
+    mask_prob: float,
+    mask_length: int,
+    min_masks: int = 0,
 ) -> jnp.ndarray:
-    """SpecAugment time-mask (B, T) boolean, jit-friendly equivalent of the
-    reference's numpy ``_compute_mask_indices`` (src/model/wav2vec.py:25-72):
-    ~mask_prob fraction of steps masked in spans of mask_time_length, at
-    least min_masks spans."""
+    """SpecAugment span mask (B, seq_len) boolean, jit-friendly equivalent of
+    the reference's numpy ``_compute_mask_indices`` (src/model/wav2vec.py:
+    25-72): ~mask_prob fraction of positions masked in spans of mask_length,
+    at least min_masks spans. Used along the time axis (positions replaced by
+    the learned masked embedding) and, when mask_feature_prob > 0, along the
+    feature axis (channels zeroed; src/model/wav2vec.py:162-173)."""
     num_masks = max(
-        cfg.mask_time_min_masks,
-        int(cfg.mask_time_prob * seq_len / cfg.mask_time_length + 0.5),
+        min_masks,
+        int(mask_prob * seq_len / mask_length + 0.5),
     )
     starts = jax.random.randint(
-        rng, (batch, num_masks), 0, max(seq_len - cfg.mask_time_length, 1)
+        rng, (batch, num_masks), 0, max(seq_len - mask_length, 1)
     )
-    positions = starts[..., None] + jnp.arange(cfg.mask_time_length)  # (B, M, L)
+    positions = starts[..., None] + jnp.arange(mask_length)  # (B, M, L)
     t = jnp.arange(seq_len)
     return (positions[..., None] == t).any(axis=(1, 2))
 
@@ -253,6 +272,7 @@ class Wav2Vec2Encoder(nn.Module):
         lengths: Optional[jnp.ndarray] = None,
         output_lengths: Optional[jnp.ndarray] = None,
         *,
+        dataset: str = "vocaset",
         train: bool = False,
         apply_spec_augment: bool = False,
         use_pallas: Optional[bool] = None,
@@ -268,7 +288,18 @@ class Wav2Vec2Encoder(nn.Module):
             for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
                 feat_lengths = (feat_lengths - k) // s + 1
 
-        if output_len is not None:
+        if dataset == "biwi":
+            # reference BIWI trim branch (src/model/wav2vec.py:119-124):
+            # even-length trim, then cap at 2x the frame count (25 fps video
+            # against 50 fps latents — no interpolation). Static shape logic
+            # under jit.
+            if h.shape[1] % 2 != 0:
+                h = h[:, :-1]
+            if output_len is not None and h.shape[1] > output_len * 2:
+                h = h[:, : output_len * 2]
+            if feat_lengths is not None:
+                feat_lengths = jnp.minimum(feat_lengths, h.shape[1])
+        elif output_len is not None:
             if lengths is None:
                 h = interp_linear(h, output_len, axis=1, align_corners=True)
             else:
@@ -278,9 +309,16 @@ class Wav2Vec2Encoder(nn.Module):
                 from audio2face_tpu.ops.dsp import interp_linear_per_item
 
                 if output_lengths is None:
-                    output_lengths = (
-                        lengths.astype(jnp.int64) * output_len // input_values.shape[1]
-                    ).astype(jnp.int32)
+                    # lengths * output_len overflows int32 for 60 s clips
+                    # (960000 * 3600 > 2^31; x64 is disabled so int64 casts
+                    # silently stay int32) — reduce the static ratio by its
+                    # gcd first, then split into quotient/remainder pieces
+                    import math as _math
+
+                    g = _math.gcd(output_len, input_values.shape[1])
+                    ol, il = output_len // g, input_values.shape[1] // g
+                    quot, rem = lengths // il, lengths % il
+                    output_lengths = (quot * ol + (rem * ol) // il).astype(jnp.int32)
                 h = interp_linear_per_item(h, output_len, feat_lengths, output_lengths)
                 feat_lengths = output_lengths
 
@@ -294,9 +332,19 @@ class Wav2Vec2Encoder(nn.Module):
         )
         if train and apply_spec_augment and cfg.mask_time_prob > 0:
             mask = compute_spec_augment_mask(
-                self.make_rng("spec_augment"), h.shape[0], h.shape[1], cfg
+                self.make_rng("spec_augment"), h.shape[0], h.shape[1],
+                cfg.mask_time_prob, cfg.mask_time_length, cfg.mask_time_min_masks,
             )
             h = jnp.where(mask[..., None], masked_embed.astype(h.dtype), h)
+        if train and apply_spec_augment and cfg.mask_feature_prob > 0:
+            # feature-axis branch (src/model/wav2vec.py:162-173): masked
+            # channels are zeroed across every time step
+            fmask = compute_spec_augment_mask(
+                self.make_rng("spec_augment"),  # fresh fold per make_rng call
+                h.shape[0], h.shape[2],
+                cfg.mask_feature_prob, cfg.mask_feature_length,
+            )
+            h = jnp.where(fmask[:, None, :], jnp.zeros((), h.dtype), h)
 
         if feat_lengths is not None:
             # zero padded positions before the (global) positional conv
@@ -309,7 +357,16 @@ class Wav2Vec2Encoder(nn.Module):
             h = nn.Dropout(0.1, deterministic=False)(h)
 
         for i in range(cfg.num_layers):
-            h = EncoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
+            out = EncoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
                 h, kv_lengths=feat_lengths, train=train, use_pallas=use_pallas
             )
+            if train and cfg.layerdrop > 0.0:
+                # HF LayerDrop: the whole layer is skipped for the whole
+                # batch with prob layerdrop (training only)
+                keep = jnp.logical_not(
+                    jax.random.bernoulli(self.make_rng("dropout"), cfg.layerdrop)
+                )
+                h = jnp.where(keep, out, h)
+            else:
+                h = out
         return h

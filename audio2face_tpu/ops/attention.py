@@ -106,8 +106,14 @@ def mha_reference(
     kv_lengths: Optional[jnp.ndarray] = None,
     sm_scale: Optional[float] = None,
     q_offset: int = 0,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Plain-XLA multi-head attention. q,k,v: (B, H, T, D)."""
+    """Plain-XLA multi-head attention. q,k,v: (B, H, T, D).
+
+    ``dropout_rate``/``dropout_rng`` apply torch-style attention-probability
+    dropout (drop softmax weights, scale survivors by 1/(1-p)) — the
+    regularization HF wav2vec2 uses in training (attention_dropout=0.1)."""
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
     if sm_scale is None:
@@ -133,6 +139,9 @@ def mha_reference(
         mask = mask & (j[None, None] < kv_lengths[:, None, None, None])
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v, precision=precision
     )
@@ -721,9 +730,22 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused MHA. q,k,v: (B, H, T, D). Auto-selects the Pallas kernel on TPU
-    and the XLA reference elsewhere (both are numerically equivalent)."""
+    and the XLA reference elsewhere (both are numerically equivalent).
+
+    Attention-probability dropout (train-time regularization) routes through
+    the XLA path: at training sequence lengths (<=600 frames) the (T, T)
+    probability tensor is small, and XLA fuses the mask — an in-kernel Pallas
+    RNG would buy nothing here."""
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return mha_reference(
+            q, k, v, causal=causal, alibi_period=alibi_period,
+            kv_lengths=kv_lengths, sm_scale=sm_scale,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        )
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:

@@ -1,0 +1,263 @@
+"""Fused wav2vec2 conv feature encoder: XLA layer 0 + one Pallas kernel for
+layers 1-6.
+
+The 7-layer conv stack (HF wav2vec2-base architecture; reference
+src/model/wav2vec.py:116 via feature_extractor) is HBM-bound under XLA: the
+layer-0 output is (B, L/5, 512) — 1.6 GB bf16 for batch-8 x 60 s — and every
+subsequent layer round-trips its activations through HBM. Here:
+
+- layer 0 (k=10, s=5, 1->512) stays in XLA with group-norm + GELU fused into
+  its epilogue: its tiny contraction (10) doesn't fit the MXU anyway, and its
+  output must be materialized exactly once as the kernel's input;
+- group norm needs GLOBAL time statistics, which would break time-tiling —
+  but conv0 is linear, so the exact per-(item, channel) stats come
+  analytically from the im2col second moments:
+
+    mean_c   = sum_j W0[j,c] mu_j,          mu_j = E_t[x_{5t+j}]
+    E[y^2]_c = sum_jk W0[j,c] W0[k,c] C_jk, C_jk = E_t[x_{5t+j} x_{5t+k}]
+
+  a (10, 10) correlation per item — essentially free, and identical to the
+  masked (length-aware) statistics when a mask is supplied;
+- layers 1-6 run in ONE Pallas kernel: the grid tiles the output time axis,
+  each program DMAs its (overlapping, receptive-field-wide) slice of the
+  layer-0 output from HBM and keeps all intermediates in VMEM. Total HBM
+  traffic for 6 layers: one read of the l0 output + one write of the
+  (B, T/64, 512) result.
+
+Stride-2 convs inside the kernel avoid strided sublane loads via the pairing
+trick: reshape (2T, 512) -> (T, 1024) puts frames (2t, 2t+1) on one row, so
+k=3/s=2 is `z1 @ [W0;W1] + z2[:, :512] @ W2` (z2 = the reshape shifted by one
+frame) and k=2/s=2 is a single `z1 @ [W0;W1]` — exact FLOPs, all MXU.
+
+Matmuls run with bf16 inputs and f32 accumulation (DEFAULT precision), the
+same numerics as the XLA bf16 path this replaces; use the XLA path
+(use_pallas False / non-TPU) for f32 parity work. GELU inside the kernel uses
+the Abramowitz-Stegun erf (Mosaic lowers neither erf nor erfc); its 1.5e-7
+error is two orders below bf16 resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# wav2vec2-base conv stack: (kernel, stride) per layer; 512 channels after l0
+CONV_KERNEL = (10, 3, 3, 3, 3, 2, 2)
+CONV_STRIDE = (5, 2, 2, 2, 2, 2, 2)
+C = 512
+K0, S0 = CONV_KERNEL[0], CONV_STRIDE[0]
+EPS = 1e-5
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def stack_output_length(input_length: int) -> int:
+    length = input_length
+    for k, s in zip(CONV_KERNEL, CONV_STRIDE):
+        length = (length - k) // s + 1
+    return length
+
+
+def _tile_chain(f: int) -> list[int]:
+    """Rows each of l0..l6 must provide for one tile of ``f`` final frames
+    (bottom-up); +1 margin on k=3 layers for the pairing reshape."""
+    counts = [f]
+    for k, s in zip(CONV_KERNEL[:0:-1], CONV_STRIDE[:0:-1]):
+        need = s * counts[0] + (k - s)
+        counts.insert(0, need + (1 if k == 3 else 0))
+    return counts  # len 7: rows of l0..l6 outputs (counts[6] == f)
+
+
+def _im2col10(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, L) waveform -> (B, T0, 10) windows at stride 5 (layer-0 im2col)."""
+    b, n = x.shape
+    t0 = (n - K0) // S0 + 1
+    lo = x[:, : S0 * t0 + S0]
+    lo = jnp.pad(lo, ((0, 0), (0, S0 * (t0 + 1) - lo.shape[1])))
+    rows = lo.reshape(b, t0 + 1, S0)
+    return jnp.concatenate([rows[:, :t0], rows[:, 1 : t0 + 1]], axis=-1)
+
+
+def conv0_groupnorm_stats(
+    xi: jnp.ndarray,  # (B, T0, 10) f32 im2col
+    w0: jnp.ndarray,  # (10, C) f32 layer-0 kernel
+    feat_lengths: Optional[jnp.ndarray] = None,  # (B,) valid T0 rows
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact per-(item, channel) mean and rstd of the conv0 output —
+    MaskedGroupNorm's statistics — via the linear/quadratic identities."""
+    b, t0, _ = xi.shape
+    xi32 = xi.astype(jnp.float32)
+    if feat_lengths is None:
+        n = jnp.full((b, 1), float(t0), jnp.float32)
+        xm = xi32
+    else:
+        valid = (
+            jnp.arange(t0)[None, :] < feat_lengths[:, None]
+        ).astype(jnp.float32)[..., None]
+        n = jnp.maximum(feat_lengths.astype(jnp.float32), 1.0)[:, None]
+        xm = xi32 * valid
+    mu = jnp.sum(xm, axis=1) / n  # (B, 10)
+    corr = jnp.einsum(
+        "btj,btk->bjk", xm, xm, precision=jax.lax.Precision.HIGHEST
+    ) / n[..., None]
+    w0 = w0.astype(jnp.float32)
+    mean = mu @ w0  # (B, C)
+    ey2 = jnp.einsum(
+        "bjk,jc,kc->bc", corr, w0, w0, precision=jax.lax.Precision.HIGHEST
+    )
+    var = jnp.maximum(ey2 - jnp.square(mean), 0.0)
+    return mean, jax.lax.rsqrt(var + EPS)
+
+
+def _gelu_exact(x):
+    # Abramowitz-Stegun 7.1.26 rational erf (|eps| <= 1.5e-7)
+    z = x * 0.7071067811865476
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-a * a))
+    return 0.5 * x * (1.0 + erf)
+
+
+def _stack_kernel(
+    h0_hbm,  # (B, T0_pad, C) bf16 in ANY (HBM) — sliced manually (halos)
+    *w_refs,  # per layer: A=(2C, C) [+ B2=(C, C) for k=3] bf16 in VMEM
+    o_ref=None,  # (1, F, C) bf16 output block
+    h0_scr=None,  # (c0_pad, C) bf16 VMEM scratch
+    sem=None,
+    counts: tuple[int, ...] = (),
+    f: int = 0,
+    precision=None,
+):
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    c0_pad = h0_scr.shape[0]
+
+    # output tiles map to overlapping input windows (receptive field), which
+    # BlockSpec cannot express — DMA the slice explicitly
+    start = pl.multiple_of(i * 64 * f, 8)
+    dma = pltpu.make_async_copy(
+        h0_hbm.at[bi, pl.ds(start, c0_pad), :], h0_scr, sem
+    )
+    dma.start()
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    dma.wait()
+    h = h0_scr[:]
+
+    wi = 0
+    for li, (k, s) in enumerate(zip(CONV_KERNEL[1:], CONV_STRIDE[1:]), start=1):
+        t_out = counts[li]
+        z = h[: 2 * t_out + (2 if k == 3 else 0), :]
+        z1 = z[: 2 * t_out].reshape(t_out, 2 * C)
+        y = mm(z1, w_refs[wi][:])
+        wi += 1
+        if k == 3:
+            z2 = z[2 : 2 * t_out + 2].reshape(t_out, 2 * C)[:, :C]
+            y = y + mm(z2, w_refs[wi][:])
+            wi += 1
+        h = _gelu_exact(y).astype(jnp.bfloat16)
+
+    o_ref[0, :, :] = h[:f, :]
+
+
+def fused_conv_encoder(
+    x: jnp.ndarray,  # (B, L) f32 waveform
+    kernels: list[jnp.ndarray],  # per layer (k, c_in, c_out) f32
+    gn_scale: jnp.ndarray,  # (C,)
+    gn_bias: jnp.ndarray,  # (C,)
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid samples
+    *,
+    tile_frames: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Waveform -> (B, T_out, C) bf16 latents (conv stack + GN + GELU)."""
+    b, n = x.shape
+    t_final = stack_output_length(n)
+    t0 = (n - K0) // S0 + 1
+    f = min(tile_frames, _round_up(t_final, 8))
+    n_tiles = -(-t_final // f)
+    counts = tuple(_tile_chain(f))
+    c0_pad = _round_up(counts[0], 8)
+    t0_pad = max(64 * (n_tiles - 1) * f + c0_pad, _round_up(t0, 8))
+
+    w0 = kernels[0].reshape(K0, C)
+    feat_lengths = None
+    if lengths is not None:
+        feat_lengths = (lengths - K0) // S0 + 1
+
+    xi = _im2col10(x)
+    mean, rstd = conv0_groupnorm_stats(xi, w0, feat_lengths)
+    # fold GN into one affine on the conv0 output: y * gs + gb
+    gs = (rstd * gn_scale[None, :])[:, None, :]
+    gb = (gn_bias[None, :] - mean * rstd * gn_scale[None, :])[:, None, :]
+
+    # layer 0 in XLA (tiny contraction; affine + GELU fuse into the epilogue)
+    h0 = jnp.einsum(
+        "btj,jc->btc", xi.astype(jnp.bfloat16), w0.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    h0 = jax.nn.gelu(h0 * gs + gb, approximate=False).astype(jnp.bfloat16)
+    h0 = jnp.pad(h0, ((0, 0), (0, t0_pad - t0), (0, 0)))
+
+    w_arrays = []
+    for k_l, w in zip(CONV_KERNEL[1:], kernels[1:]):
+        w = w.astype(jnp.bfloat16)
+        w_arrays.append(jnp.concatenate([w[0], w[1]], axis=0))  # (2C, C)
+        if k_l == 3:
+            w_arrays.append(w[2])  # (C, C)
+
+    t_final_pad = n_tiles * f
+
+    def kern(h0_r, *rest):
+        *ws, o_r, scr, sem = rest
+        return _stack_kernel(
+            h0_r, *ws, o_ref=o_r, h0_scr=scr, sem=sem,
+            counts=counts, f=f, precision=jax.lax.Precision.DEFAULT,
+        )
+
+    # activations (bf16) + weights + the DMA'd input tile, with headroom for
+    # Mosaic's double buffering of the output block
+    act_bytes = sum(2 * cnt * 4 * C for cnt in counts)
+    vmem = act_bytes + len(w_arrays) * 2 * C * C * 2 + c0_pad * C * 2
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(w_arrays),
+        out_specs=pl.BlockSpec(
+            (1, f, C), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_final_pad, C), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((c0_pad, C), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=min(int(vmem * 2.5), 110 * 1024 * 1024),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_tiles * sum(
+                cnt * CONV_KERNEL[i] * C * C for i, cnt in enumerate(counts) if i
+            ),
+            bytes_accessed=h0.size * 2 + b * t_final_pad * C * 2,
+            transcendentals=b * n_tiles * sum(counts[1:]) * C,
+        ),
+        interpret=interpret,
+    )(h0, *w_arrays)
+    return out[:, :t_final, :]

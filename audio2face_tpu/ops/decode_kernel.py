@@ -21,12 +21,22 @@ Layout: a block of B_BLOCK batch items is packed on the *lane* axis as
 (1, B_BLOCK*64) — Mosaic-friendly, no cross-lane reshapes anywhere:
 
 - per-item dense layers become one matmul against block-diagonal
-  (kron(I_B, W)) weights;
+  (kron(I_B, W)) weights; q/k/v are a single merged (BD, 3*BD) matmul;
 - per-(item, head) attention scores come from an elementwise q*K broadcast
-  followed by a (T, 256) @ (256, 16) head-mask contraction, and the PV
-  contraction is the mask-transpose expansion + masked reduce;
+  followed by a (T, BD) @ (BD, n_heads_tot) head-mask contraction, and the
+  PV contraction is the mask-transpose expansion + masked reduce;
 - layer norm over each item's 64 lanes is a grouped mean/var computed with a
-  (256, 4) group-mask matmul.
+  (BD, B_BLOCK) group-mask matmul.
+
+Performance notes (round 2):
+- grid programs execute SEQUENTIALLY on a TensorCore, so the whole batch is
+  packed into ONE program (B_BLOCK=8 by default => one 3600-step loop instead
+  of four). The f32 KV/cross/out buffers for 8 items at T=3600 take ~32 MB —
+  beyond the default ~16 MB Mosaic window but comfortably inside v5e VMEM
+  (128 MB); vmem_limit_bytes is raised accordingly.
+- the causal prefix is processed in CHUNKS: the T loop is split into static
+  sub-ranges and attention inside chunk c only touches cache rows
+  [0, (c+1)*chunk) — halving average attention work vs full-height ops.
 
 Inference-only (training differentiates through the lax.scan path).
 """
@@ -46,29 +56,27 @@ from audio2face_tpu.ops.attention import alibi_slopes
 D = 64
 N_HEADS = 4
 HD = D // N_HEADS
-# 2 items per grid program keeps all T=3600 f32 buffers (KV caches + cross +
-# out) under the ~16 MB VMEM budget; dynamic single-row loads/stores require
-# f32 (Mosaic cannot prove sublane alignment for bf16 rows)
-B_BLOCK = 2
-BD = B_BLOCK * D
-NH_TOT = B_BLOCK * N_HEADS
 NEG = -1e30
+# dynamic single-row loads/stores require f32 (Mosaic cannot prove sublane
+# alignment for bf16 rows), so every T-height buffer is f32
+DEFAULT_B_BLOCK = 8
+CHUNK = 512
 
 
-def _head_mask() -> np.ndarray:
+def _head_mask(b_block: int) -> np.ndarray:
     """(BD, NH_TOT) selector: mask[b*D + h*HD + i, b*N_HEADS + h] = 1."""
-    m = np.zeros((BD, NH_TOT), np.float32)
-    for b in range(B_BLOCK):
+    m = np.zeros((b_block * D, b_block * N_HEADS), np.float32)
+    for b in range(b_block):
         for h in range(N_HEADS):
             for i in range(HD):
                 m[b * D + h * HD + i, b * N_HEADS + h] = 1.0
     return m
 
 
-def _group_mask() -> np.ndarray:
-    """(BD, B_BLOCK) selector of each item's 64-lane group (for grouped LN)."""
-    m = np.zeros((BD, B_BLOCK), np.float32)
-    for b in range(B_BLOCK):
+def _group_mask(b_block: int) -> np.ndarray:
+    """(BD, B_BLOCK) selector of each item's 64-lane group (grouped LN)."""
+    m = np.zeros((b_block * D, b_block), np.float32)
+    for b in range(b_block):
         m[b * D : (b + 1) * D, b] = 1.0
     return m
 
@@ -83,7 +91,7 @@ def _decode_kernel(
     gmask_ref,  # (BD, B_BLOCK)
     gmask_t_ref,  # (B_BLOCK, BD)
     slopes_ref,  # (1, NH_TOT)
-    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     wf1_ref, bf1_ref, wf2_ref, bf2_ref, wfb_ref, bfb_ref,
     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, ln3s_ref, ln3b_ref,
     # outputs
@@ -95,11 +103,14 @@ def _decode_kernel(
     n_steps: int,
     t_pad: int,
     period: int,
+    b_block: int,
+    chunk: int,
     precision,
 ):
+    bd = b_block * D
+    nh_tot = b_block * N_HEADS
     sm_scale = 1.0 / (HD**0.5)
     slopes = slopes_ref[:]  # (1, NH_TOT)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, NH_TOT), 0)
 
     # zero the caches: rows beyond the current step have ~0 softmax weight,
     # but garbage (or NaN) values would still poison the PV reduce via 0*NaN
@@ -121,39 +132,50 @@ def _decode_kernel(
         var_full = mm(var, gmask_t_ref[:])
         return xc * jax.lax.rsqrt(var_full + 1e-5) * s_ref[:] + b_ref[:]
 
-    def step(t, emb):
-        # emb: (1, BD) f32
-        x = emb + pe_ref[pl.ds(t % period, 1), :]
-        q = mm(x, wq_ref[:]) + bq_ref[:]
-        k = mm(x, wk_ref[:]) + bk_ref[:]
-        v = mm(x, wv_ref[:]) + bv_ref[:]
-        k_scr[pl.ds(t, 1), :] = k
-        v_scr[pl.ds(t, 1), :] = v
+    def make_step(rows_c: int):
+        """Step fn whose attention touches only cache rows [0, rows_c)."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_c, nh_tot), 0)
 
-        # per-(item, head) scores: broadcast q over the cache, contract lanes
-        s = mm(k_scr[:] * q, hmask_ref[:]) * sm_scale  # (T_pad, NH_TOT)
-        dist = jax.lax.div(t - rows, period)
-        s = s - slopes * dist.astype(jnp.float32)
-        s = jnp.where(rows <= t, s, NEG)
+        def step(t, emb):
+            # emb: (1, BD) f32
+            x = emb + pe_ref[pl.ds(t % period, 1), :]
+            qkv = mm(x, wqkv_ref[:]) + bqkv_ref[:]  # (1, 3*BD) one MXU pass
+            q = qkv[:, :bd]
+            k_scr[pl.ds(t, 1), :] = qkv[:, bd : 2 * bd]
+            v_scr[pl.ds(t, 1), :] = qkv[:, 2 * bd :]
 
-        m = jnp.max(s, axis=0, keepdims=True)
-        p = jnp.exp(s - m)
-        z = jnp.sum(p, axis=0, keepdims=True)
-        p = p / z
-        # expand per-(item, head) probs back onto lanes, contract with V
-        p_exp = mm(p, hmask_t_ref[:])  # (T_pad, BD)
-        attn = jnp.sum(p_exp * v_scr[:], axis=0, keepdims=True)  # (1, BD)
+            # per-(item, head) scores on the live prefix chunk only
+            kc = k_scr[:rows_c, :]
+            s = mm(kc * q, hmask_ref[:]) * sm_scale  # (rows_c, NH_TOT)
+            dist = jax.lax.div(t - rows, period)
+            s = s - slopes * dist.astype(jnp.float32)
+            s = jnp.where(rows <= t, s, NEG)
 
-        sa = mm(attn, wo_ref[:]) + bo_ref[:]
-        h = ln(x + sa, ln1s_ref, ln1b_ref)
-        h = ln(h + cross_ref[0, pl.ds(t, 1), :].astype(jnp.float32), ln2s_ref, ln2b_ref)
-        ff = mm(jnp.maximum(mm(h, wf1_ref[:]) + bf1_ref[:], 0.0), wf2_ref[:]) + bf2_ref[:]
-        h = ln(h + ff, ln3s_ref, ln3b_ref)
+            m = jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp(s - m)
+            z = jnp.sum(p, axis=0, keepdims=True)
+            p = p / z
+            # expand per-(item, head) probs back onto lanes, contract with V
+            p_exp = mm(p, hmask_t_ref[:])  # (rows_c, BD)
+            attn = jnp.sum(p_exp * v_scr[:rows_c, :], axis=0, keepdims=True)
 
-        o_ref[0, pl.ds(t, 1), :] = h.astype(o_ref.dtype)
-        return mm(h, wfb_ref[:]) + bfb_ref[:] + style_ref[0]
+            sa = mm(attn, wo_ref[:]) + bo_ref[:]
+            h = ln(x + sa, ln1s_ref, ln1b_ref)
+            h = ln(h + cross_ref[0, pl.ds(t, 1), :].astype(jnp.float32), ln2s_ref, ln2b_ref)
+            ff = mm(jnp.maximum(mm(h, wf1_ref[:]) + bf1_ref[:], 0.0), wf2_ref[:]) + bf2_ref[:]
+            h = ln(h + ff, ln3s_ref, ln3b_ref)
 
-    jax.lax.fori_loop(0, n_steps, step, style_ref[0].astype(jnp.float32))
+            o_ref[0, pl.ds(t, 1), :] = h.astype(o_ref.dtype)
+            return mm(h, wfb_ref[:]) + bfb_ref[:] + style_ref[0]
+
+        return step
+
+    emb = style_ref[0].astype(jnp.float32)
+    # static chunking of the T loop: chunk c sees a prefix of (c+1)*chunk rows
+    for lo in range(0, n_steps, chunk):
+        hi = min(lo + chunk, n_steps)
+        rows_c = min(lo + chunk, t_pad)
+        emb = jax.lax.fori_loop(lo, hi, make_step(rows_c), emb)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -169,69 +191,86 @@ def faceformer_decode_loop(
     period: int = 60,
     interpret: bool = False,
     fast_math: bool = True,
+    b_block: int | None = None,
+    chunk: int = CHUNK,
 ) -> jnp.ndarray:
     """Run the fused decode loop; returns hidden states (B, T, D)."""
     b, t, d = cross.shape
     assert d == D
-    b_pad = _round_up(b, B_BLOCK)
+    if b_block is None:
+        b_block = min(_round_up(b, 2), DEFAULT_B_BLOCK)
+    bd = b_block * D
+    b_pad = _round_up(b, b_block)
     t_pad = _round_up(t, 8)
-    n_blocks = b_pad // B_BLOCK
+    n_blocks = b_pad // b_block
 
     # pack (B, T, D) -> (n_blocks, T_pad, B_BLOCK*D): items on the lane axis
     cross_p = jnp.pad(cross.astype(jnp.float32), ((0, b_pad - b), (0, t_pad - t), (0, 0)))
-    cross_p = cross_p.reshape(n_blocks, B_BLOCK, t_pad, D).transpose(0, 2, 1, 3)
-    cross_p = cross_p.reshape(n_blocks, t_pad, BD)
-    style_p = jnp.pad(style.astype(jnp.float32), ((0, b_pad - b), (0, 0))).reshape(n_blocks, 1, BD)
+    cross_p = cross_p.reshape(n_blocks, b_block, t_pad, D).transpose(0, 2, 1, 3)
+    cross_p = cross_p.reshape(n_blocks, t_pad, bd)
+    style_p = jnp.pad(style.astype(jnp.float32), ((0, b_pad - b), (0, 0))).reshape(n_blocks, 1, bd)
 
-    eye = jnp.eye(B_BLOCK, dtype=jnp.float32)
+    eye = jnp.eye(b_block, dtype=jnp.float32)
 
     def blocked(wname):
         return jnp.kron(eye, weights[wname].astype(jnp.float32))
 
     def tiled(vname):
-        return jnp.tile(weights[vname].astype(jnp.float32), B_BLOCK)[None]
+        return jnp.tile(weights[vname].astype(jnp.float32), b_block)[None]
 
-    weight_arrays = []
-    for name in ("q", "k", "v", "o", "f1", "f2", "fb"):
+    # merged q/k/v: one (BD, 3*BD) matmul per step instead of three
+    wqkv = jnp.concatenate(
+        [blocked("q_kernel"), blocked("k_kernel"), blocked("v_kernel")], axis=1
+    )
+    bqkv = jnp.concatenate(
+        [tiled("q_bias"), tiled("k_bias"), tiled("v_bias")], axis=1
+    )
+    weight_arrays = [wqkv, bqkv]
+    for name in ("o", "f1", "f2", "fb"):
         weight_arrays.append(blocked(f"{name}_kernel"))
         weight_arrays.append(tiled(f"{name}_bias"))
     for i in (1, 2, 3):
         weight_arrays.append(tiled(f"ln{i}_scale"))
         weight_arrays.append(tiled(f"ln{i}_bias"))
 
-    hmask = jnp.asarray(_head_mask())
-    gmask = jnp.asarray(_group_mask())
-    slopes = jnp.tile(jnp.asarray(alibi_slopes(N_HEADS)), B_BLOCK)[None]
-    pe_packed = jnp.tile(pe.astype(jnp.float32), (1, B_BLOCK))
+    hmask = jnp.asarray(_head_mask(b_block))
+    gmask = jnp.asarray(_group_mask(b_block))
+    slopes = jnp.tile(jnp.asarray(alibi_slopes(N_HEADS)), b_block)[None]
+    pe_packed = jnp.tile(pe.astype(jnp.float32), (1, b_block))
 
     precision = (
         jax.lax.Precision.DEFAULT if fast_math else jax.lax.Precision.HIGHEST
     )
     kernel = functools.partial(
-        _decode_kernel, n_steps=t, t_pad=t_pad, period=period, precision=precision
+        _decode_kernel, n_steps=t, t_pad=t_pad, period=period,
+        b_block=b_block, chunk=chunk, precision=precision,
     )
+
+    # T-height f32 buffers: cross + out + k/v scratch (+ modest weights)
+    vmem_bytes = 4 * t_pad * bd * 4 + 8 * bd * bd + 4 * 1024 * 1024
 
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, t_pad, BD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(weight_arrays)),
-        out_specs=pl.BlockSpec((1, t_pad, BD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, t_pad, BD), jnp.float32),
+        out_specs=pl.BlockSpec((1, t_pad, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, t_pad, bd), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((t_pad, BD), jnp.float32),
-            pltpu.VMEM((t_pad, BD), jnp.float32),
+            pltpu.VMEM((t_pad, bd), jnp.float32),
+            pltpu.VMEM((t_pad, bd), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * t * t_pad * BD * 2 + t * (BD * BD * 10),
+            flops=2 * t * t_pad * bd * 2 + t * (bd * bd * 10),
             bytes_accessed=cross_p.size * 4 * 2,
-            transcendentals=t * t_pad * NH_TOT,
+            transcendentals=t * t_pad * b_block * N_HEADS,
         ),
         interpret=interpret,
     )(
@@ -240,5 +279,5 @@ def faceformer_decode_loop(
     )
 
     # unpack (n_blocks, T_pad, BD) -> (B, T, D)
-    out = out.reshape(n_blocks, t_pad, B_BLOCK, D).transpose(0, 2, 1, 3)
+    out = out.reshape(n_blocks, t_pad, b_block, D).transpose(0, 2, 1, 3)
     return out.reshape(b_pad, t_pad, D)[:b, :t].astype(cross.dtype)

@@ -41,7 +41,14 @@ def _load():
     if _lib_tried:
         return _lib
     _lib_tried = True
-    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+    # The .so is never committed (it is host-specific); build from the
+    # checked-in source on first use, and rebuild whenever the source is
+    # newer than the binary.
+    fresh = (
+        os.path.exists(_LIB_PATH)
+        and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+    )
+    path = _LIB_PATH if fresh else _build()
     if path is None:
         return None
     try:

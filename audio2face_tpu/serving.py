@@ -11,9 +11,12 @@ per length; this module gives the production path:
 - padded batching up to ``max_batch`` speakers per call (BASELINE config #4);
 - weights from an orbax checkpoint, a converted PyTorch/Lightning
   checkpoint, or random init for benchmarking;
-- outputs in data units (the ÷100 prediction scaling applies only to the
-  training pipeline's scaled targets; raw model output is already in
-  template units for converted reference checkpoints).
+- outputs in data units: checkpoints — from this trainer AND from the
+  reference (src/model/lightning_model.py:145-148) — are trained with the
+  x100 vertex-unit convention, so the predictor feeds ``template * 100``
+  and returns ``output / 100``, exactly matching ``trainer.predict``
+  (lightning_model.py:215-225). Override ``unit_scale=1.0`` for weights
+  trained in raw data units.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ class FaceFormerPredictor:
         bucket_seconds: float = 5.0,
         seed: int = 0,
         decode_impl: Optional[str] = None,
+        unit_scale: float = 100.0,
     ):
         self.model = FaceFormer(
             n_verts=n_verts,
@@ -55,6 +59,7 @@ class FaceFormerPredictor:
         self.n_onehot = n_onehot
         self.n_verts = n_verts
         self.max_batch = max_batch
+        self.unit_scale = float(unit_scale)
         self.bucket_samples = int(bucket_seconds * AUDIO_SR)
         if variables is None:
             dummy = jnp.zeros((1, AUDIO_SR), jnp.float32)
@@ -90,11 +95,16 @@ class FaceFormerPredictor:
         key = (batch, samples)
         if key not in self._fns:
 
+            scale = self.unit_scale
+
             @jax.jit
             def fn(variables, audio, one_hot, template, lengths):
-                return self.model.apply(
-                    variables, audio, one_hot, template, lengths=lengths
+                # x100 training-unit convention in, /100 out — matches
+                # trainer.predict (lightning_model.py:145-148, 215-225)
+                verts, mask = self.model.apply(
+                    variables, audio, one_hot, template * scale, lengths=lengths
                 )
+                return verts / scale, mask
 
             self._fns[key] = fn
         return self._fns[key]

@@ -13,8 +13,24 @@ import os
 _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache")
 
 
+def force_platform_from_env() -> None:
+    """Honor ``A2F_FORCE_PLATFORM`` before JAX initializes.
+
+    The env var ``JAX_PLATFORMS`` alone is not sufficient on hosts where a
+    TPU PJRT plugin (axon) force-registers itself; the platform must be
+    pinned through the config API. Entry points call this first so tests and
+    subprocesses can hermetically select the CPU backend."""
+    plat = os.environ.get("A2F_FORCE_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def enable_persistent_cache(path: str | None = None) -> None:
     import jax
+
+    force_platform_from_env()
 
     path = path or os.environ.get("A2F_JAX_CACHE_DIR", _DEFAULT_DIR)
     try:

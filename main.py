@@ -4,11 +4,20 @@ load the FLAME template + a saved vertex animation, render, write video.
 Fixes the reference's latent path bug (main.py:13 passes "output.mp4" to a
 function that treats it as a directory): here --output is a directory and the
 video lands at {output}/tmp.mp4.
+
+Runs green on a fresh clone: when the default assets are absent (FLAME is
+licensed and cannot ship), a synthetic template + animation are generated
+into assets/ first.
 """
 
 import argparse
+import os
 
 import numpy as np
+
+from audio2face_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # also pins A2F_FORCE_PLATFORM before first JAX use
 
 from audio2face_tpu.utils.facemesh import FaceMesh
 from audio2face_tpu.utils.renderer import Renderer, images_to_video
@@ -21,6 +30,15 @@ def main() -> None:
     parser.add_argument("--output", default="output")
     parser.add_argument("--fps", type=int, default=60)
     args = parser.parse_args()
+
+    if not (os.path.exists(args.template) and os.path.exists(args.verts)):
+        from audio2face_tpu.data.synthetic import generate_demo_assets
+
+        assets_dir = os.path.dirname(args.template) or "assets"
+        print(f"default assets missing; generating a synthetic demo into {assets_dir}/")
+        paths = generate_demo_assets(assets_dir)
+        args.template = args.template if os.path.exists(args.template) else paths["template"]
+        args.verts = args.verts if os.path.exists(args.verts) else paths["verts"]
 
     texture_mesh = FaceMesh.load(args.template)
     renderer = Renderer(texture_mesh)

@@ -13,6 +13,10 @@ import subprocess
 
 import numpy as np
 
+from audio2face_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # also pins A2F_FORCE_PLATFORM before first JAX use
+
 from audio2face_tpu.utils.facemesh import FaceMesh
 from audio2face_tpu.utils.renderer import Renderer
 

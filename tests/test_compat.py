@@ -77,29 +77,105 @@ def test_export_roundtrip(modelname, mirror_cls):
     mirror.load_state_dict({k: torch.as_tensor(v) for k, v in exported.items()})
 
 
-def test_export_faceformer_decoder_roundtrip():
-    """Decoder weights survive torch -> jax -> torch (cross q/k are inert
-    under the diagonal mask and export as zeros)."""
+def test_export_faceformer_full_roundtrip():
+    """FULL-model torch -> jax -> torch round-trip: every original key —
+    audio_encoder.* (incl. the weight-norm re-parameterized positional conv)
+    and all decoder params — survives, except the cross-attention q/k rows,
+    which are inert under the diagonal memory mask and export as zeros.
+    The exported dict must also load into the reference-architecture module
+    and reproduce its forward."""
     from audio2face_tpu.compat.faceformer_convert import convert_faceformer
     from audio2face_tpu.compat.torch_convert import state_dict_to_numpy
     from audio2face_tpu.compat.torch_export import export_faceformer
     from tests.torch_mirrors import TorchFaceFormer
 
+    d = 64
     torch.manual_seed(1)
     mirror = TorchFaceFormer(300, 12)
     original = state_dict_to_numpy(mirror)
     variables = convert_faceformer(original)
     exported = export_faceformer(variables)
+
     layer = "transformer_decoder.layers.0"
-    for k in (
-        "audio_feature_map.weight", "vertice_map.weight", "vertice_map_r.bias",
-        "obj_vector.weight", f"{layer}.self_attn.in_proj_weight",
-        f"{layer}.self_attn.out_proj.bias", f"{layer}.linear1.weight",
-        f"{layer}.norm3.weight", f"{layer}.multihead_attn.out_proj.weight",
-    ):
-        np.testing.assert_allclose(exported[k], original[k], atol=1e-6, err_msg=k)
-    # value part of the packed cross projection survives; q/k are zeroed
-    np.testing.assert_allclose(
-        exported[f"{layer}.multihead_attn.in_proj_weight"][600:],
-        original[f"{layer}.multihead_attn.in_proj_weight"][600:], atol=1e-6,
+    cross_in_w = f"{layer}.multihead_attn.in_proj_weight"
+    cross_in_b = f"{layer}.multihead_attn.in_proj_bias"
+    buffers = {"biased_mask", "ppe"}
+    for k, v in original.items():
+        if k in buffers:
+            continue
+        if k in (cross_in_w, cross_in_b):
+            # value rows [2d:] survive; q/k rows [:2d] are zeroed (inert)
+            np.testing.assert_allclose(exported[k][2 * d :], v[2 * d :], atol=1e-6, err_msg=k)
+            np.testing.assert_array_equal(exported[k][: 2 * d], 0.0, err_msg=k)
+            continue
+        assert k in exported, f"export missing reference key {k}"
+        np.testing.assert_allclose(exported[k], v, atol=1e-6, err_msg=k)
+
+    # loads into the reference-architecture module: only the deterministic
+    # buffers may be missing
+    mirror2 = TorchFaceFormer(300, 12)
+    missing, unexpected = mirror2.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in exported.items()}, strict=False
     )
+    assert set(missing) <= buffers, missing
+    assert not unexpected, unexpected
+
+    # forward parity: the re-imported module == the original module
+    rng = np.random.default_rng(0)
+    audio = torch.as_tensor((rng.normal(size=(1, 4000)) * 0.1).astype(np.float32))
+    one_hot = torch.as_tensor(np.eye(12, dtype=np.float32)[[2]])
+    template = torch.as_tensor(rng.normal(size=(1, 100, 3)).astype(np.float32))
+    mirror.eval(), mirror2.eval()
+    with torch.no_grad():
+        ref = mirror(audio, one_hot, template).numpy()
+        out = mirror2(audio, one_hot, template).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_export_faceformer_from_flax_init():
+    """Flax-native faceformer (not torch-originated) exports a state dict
+    that loads into the reference architecture and matches the Flax forward
+    <1e-4 — the 'train here, serve in the reference' path (VERDICT r1 #4).
+    The zero-init vertice maps are randomized first so scale/transpose bugs
+    cannot hide behind output == template."""
+    import jax
+    from audio2face_tpu.compat.torch_export import export_faceformer
+    from audio2face_tpu.models.faceformer import FaceFormer
+    from tests.torch_mirrors import TorchFaceFormer
+
+    n_verts = 300
+    model = FaceFormer(n_verts=n_verts, n_onehot=12, decode_impl="scan")
+    rng = np.random.default_rng(3)
+    audio_np = (rng.normal(size=(1, 4000)) * 0.1).astype(np.float32)
+    one_hot_np = np.eye(12, dtype=np.float32)[[5]]
+    template_np = rng.normal(size=(1, 100, 3)).astype(np.float32)
+    import jax.numpy as jnp
+
+    audio, one_hot, template = map(jnp.asarray, (audio_np, one_hot_np, template_np))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), audio, one_hot, template)
+    params = dict(variables["params"])
+    params["vertice_map_kernel"] = jnp.asarray(
+        rng.normal(size=params["vertice_map_kernel"].shape).astype(np.float32) * 0.02
+    )
+    params["vertice_map_r_kernel"] = jnp.asarray(
+        rng.normal(size=params["vertice_map_r_kernel"].shape).astype(np.float32) * 0.02
+    )
+    variables = {"params": params}
+
+    ours = np.asarray(model.apply(variables, audio, one_hot, template))
+
+    exported = export_faceformer(variables)
+    mirror = TorchFaceFormer(n_verts, 12)
+    missing, unexpected = mirror.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in exported.items()}, strict=False
+    )
+    assert set(missing) <= {"biased_mask", "ppe"}, missing
+    assert not unexpected, unexpected
+    mirror.eval()
+    with torch.no_grad():
+        ref = mirror(
+            torch.as_tensor(audio_np),
+            torch.as_tensor(one_hot_np),
+            torch.as_tensor(template_np),
+        ).numpy()
+    assert np.abs(ours - ref).max() < 1e-4

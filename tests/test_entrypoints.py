@@ -1,0 +1,85 @@
+"""Fresh-clone demo path: every entry script must run green with ZERO
+external assets (VERDICT r1 #7). FLAME and VOCASET are licensed, so the entry
+points synthesize stand-ins on demand (data/synthetic.py)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd, timeout=900):
+    env = dict(os.environ)
+    env["A2F_FORCE_PLATFORM"] = "cpu"  # hermetic: don't grab the TPU
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, f"{args}\n--- stdout\n{proc.stdout}\n--- stderr\n{proc.stderr}"
+    return proc
+
+
+def test_generate_demo_assets(tmp_path):
+    from audio2face_tpu.data.synthetic import generate_demo_assets
+    from audio2face_tpu.utils.facemesh import FaceMesh
+
+    paths = generate_demo_assets(str(tmp_path / "assets"), n_verts=523, seconds=0.3)
+    mesh = FaceMesh.load(paths["template"])
+    assert mesh.verts.shape == (523, 3)
+    assert mesh.faces.min() >= 0 and mesh.faces.max() < 523
+    anim = np.load(paths["verts"])
+    assert anim.shape == (18, 523, 3)
+    assert os.path.getsize(paths["audio"]) > 1000
+    # idempotent: second call keeps the files
+    before = os.path.getmtime(paths["template"])
+    generate_demo_assets(str(tmp_path / "assets"), n_verts=523, seconds=0.3)
+    assert os.path.getmtime(paths["template"]) == before
+
+
+def test_main_renders_from_fresh_dir(tmp_path):
+    """`python main.py` in an empty cwd: generates assets, renders, writes
+    the video — zero external files."""
+    # pre-seed tiny assets so the CPU rasterizer renders ~12 frames, not 120
+    from audio2face_tpu.data.synthetic import generate_demo_assets
+
+    generate_demo_assets(str(tmp_path / "assets"), n_verts=523, seconds=0.2)
+    _run([os.path.join(REPO, "main.py")], cwd=str(tmp_path))
+    assert os.path.exists(tmp_path / "output" / "tmp.mp4")
+
+
+def test_train_runs_from_fresh_dir(tmp_path):
+    """`python train.py --config configs/audio2mesh.yaml` in an empty cwd:
+    synthesizes a VOCASET stand-in, fits one epoch, predicts, saves verts."""
+    import shutil
+
+    cfg_src = os.path.join(REPO, "configs", "audio2mesh.yaml")
+    cfg = tmp_path / "audio2mesh.yaml"
+    shutil.copy(cfg_src, cfg)
+    # shrink the vertex count so the CPU run stays fast; the full-size path
+    # is exercised on TPU by bench.py / train smoke
+    text = cfg.read_text().replace("15069", "1569")
+    cfg.write_text(text)
+
+    _run(
+        [
+            os.path.join(REPO, "train.py"),
+            "--config", str(cfg),
+            "--max-epochs", "1",
+            "--predict-subject", "FaceTalk_170809_00138_TA",
+            "--predict-sentence", "sentence01",
+            "--skip-render",
+        ],
+        cwd=str(tmp_path),
+    )
+    # synthetic dataset + a saved prediction exist
+    assert os.path.exists(tmp_path / "synthetic_vocaset" / "data_verts.npy")
+    logs = tmp_path / "logs"
+    runs = list(logs.iterdir())
+    assert runs, "no run dir written"
+    pred = np.load(runs[0] / "pred_verts.npy")
+    assert pred.shape[1:] == (523, 3)

@@ -15,6 +15,10 @@ import os
 
 import numpy as np
 
+from audio2face_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # also pins A2F_FORCE_PLATFORM before first JAX use
+
 from audio2face_tpu.config import ExpConfig
 from audio2face_tpu.data.vocaset import VocaDataModule
 from audio2face_tpu.training.trainer import Audio2FaceExperiment
@@ -43,6 +47,22 @@ def main() -> None:
 
     dataset_path = args.dataset_path or os.path.join(os.getcwd(), "..")
     config = ExpConfig.from_yaml(args.config).apply_faceformer_overrides()
+
+    # fresh-clone path: VOCASET is licensed, so when no artifacts exist we
+    # train on the synthetic stand-in (format-identical; data/synthetic.py)
+    if not os.path.exists(os.path.join(dataset_path, "data_verts.npy")):
+        from audio2face_tpu.data.synthetic import generate_synthetic_vocaset
+
+        dataset_path = os.path.join(os.getcwd(), "synthetic_vocaset")
+        if not os.path.exists(os.path.join(dataset_path, "data_verts.npy")):
+            print(f"no VOCASET artifacts found; generating synthetic data in {dataset_path}")
+            generate_synthetic_vocaset(dataset_path, n_verts=config.vertex_count // 3)
+
+    if not args.skip_render and not os.path.exists(args.template):
+        from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+
+        print(f"{args.template} missing; writing a synthetic stand-in template")
+        generate_synthetic_face_obj(args.template, n_verts=config.vertex_count // 3)
 
     datamodule = VocaDataModule(
         dataset_path,
