@@ -77,16 +77,21 @@ class MaskedGroupNorm(nn.Module):
     norm is otherwise padding-sensitive (the whole sequence shifts when a
     batch is padded), which is why the reference is stuck at batch_size=1
     for faceformer; masked stats make padded batching exact on the prefix.
+
+    Setup-style so the fused Pallas conv-encoder path can read ``scale`` /
+    ``bias`` directly (it computes the GN statistics analytically in-kernel).
     """
 
+    channels: int = 512
     epsilon: float = 1e-5
     dtype: jnp.dtype | None = None
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+
     def __call__(self, h, feat_lengths=None):  # h: (B, T, C)
-        c = h.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
+        scale, bias = self.scale, self.bias
         h32 = h.astype(jnp.float32)
         # single-pass stats (E[x], E[x^2]): halves the HBM traffic of this
         # memory-bound op on long sequences vs the two-pass mean/var form
@@ -107,29 +112,94 @@ class MaskedGroupNorm(nn.Module):
         return out.astype(h.dtype)
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv kernel parameter under the same ``conv{i}/kernel`` path
+    nn.Conv would use — declared once, consumed by either the XLA conv path
+    or the fused Pallas kernel."""
+
+    shape: tuple[int, int, int]  # (k, c_in, c_out)
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class _ConvBias(nn.Module):
+    shape: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("bias", nn.initializers.zeros, self.shape)
+
+
 class FeatureEncoder(nn.Module):
-    """Raw waveform -> (B, T50, 512) latents at ~50 fps."""
+    """Raw waveform -> (B, T50, 512) latents at ~50 fps.
+
+    Two execution paths over one parameter tree:
+
+    - XLA (default off-TPU / f32 parity): per-layer VALID convs with the
+      masked group norm after layer 0 — bit-comparable to the HF torch stack.
+    - fused Pallas (TPU + bf16 inference): layer 0 + analytic group-norm
+      stats in XLA, layers 1-6 in a single VMEM-resident kernel
+      (ops/conv_encoder.py) — one HBM read of the layer-0 output instead of
+      six activation round-trips.
+    """
 
     config: Wav2Vec2Config
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, lengths=None):  # x: (B, L)
+    def __call__(self, x, lengths=None, use_pallas: Optional[bool] = None):
         cfg = self.config
-        h = x[:, :, None].astype(self.dtype or jnp.float32)  # NHC
-        feat_lengths = lengths
+        kernels = []
+        c_in = 1
         for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
-            h = nn.Conv(
-                dim, (k,), strides=(s,), padding="VALID", use_bias=cfg.conv_bias,
-                dtype=self.dtype, precision=dot_precision(self.dtype),
-                name=f"conv{i}",
-            )(h)
+            kernels.append(_ConvKernel((k, c_in, dim), name=f"conv{i}")())
+            c_in = dim
+        gn = MaskedGroupNorm(
+            channels=cfg.conv_dim[0], epsilon=cfg.layer_norm_eps,
+            dtype=self.dtype, name="group_norm",
+        )
+
+        biases = None
+        if cfg.conv_bias:
+            biases = [
+                _ConvBias((dim,), name=f"conv{i}")()
+                for i, dim in enumerate(cfg.conv_dim)
+            ]
+
+        from audio2face_tpu.ops import conv_encoder as ce
+
+        fused_ok = (
+            not cfg.conv_bias
+            and cfg.conv_kernel == ce.CONV_KERNEL
+            and cfg.conv_stride == ce.CONV_STRIDE
+            and all(d == ce.C for d in cfg.conv_dim)
+            and self.dtype == jnp.bfloat16
+        )
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and fused_ok:
+            return ce.fused_conv_encoder(
+                x, kernels, gn.scale, gn.bias, lengths
+            )
+
+        dtype = self.dtype or jnp.float32
+        prec = dot_precision(self.dtype)
+        h = x[:, :, None].astype(dtype)  # NWC
+        feat_lengths = lengths
+        for i, (k, s) in enumerate(zip(cfg.conv_kernel, cfg.conv_stride)):
+            h = jax.lax.conv_general_dilated(
+                h, kernels[i].astype(dtype), window_strides=(s,),
+                padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+                precision=prec,
+            )
+            if biases is not None:
+                h = h + biases[i].astype(dtype)
             if feat_lengths is not None:
                 feat_lengths = (feat_lengths - k) // s + 1
             if i == 0:
-                h = MaskedGroupNorm(
-                    epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="group_norm"
-                )(h, feat_lengths)
+                h = gn(h, feat_lengths)
             h = jax.nn.gelu(h, approximate=False)
         return h
 
@@ -278,8 +348,10 @@ class Wav2Vec2Encoder(nn.Module):
         use_pallas: Optional[bool] = None,
     ):
         cfg = self.config
+        # the fused conv kernel is inference-only (no VJP); training takes
+        # the differentiable XLA conv path
         h = FeatureEncoder(cfg, dtype=self.dtype, name="feature_encoder")(
-            input_values, lengths
+            input_values, lengths, use_pallas=False if train else use_pallas
         )
 
         feat_lengths = None

@@ -173,6 +173,7 @@ def _flash_kernel(
     n_k_blocks: int,
     precision: jax.lax.Precision,
     may_mask: bool,
+    q_chunks: int = 1,
 ):
     bh = pl.program_id(0)
     iq = pl.program_id(1)
@@ -193,54 +194,98 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    # Optionally process the q block in independent row chunks (the chunks
+    # share no data, giving the scheduler a chance to overlap chunk B's score
+    # matmul with chunk A's softmax). Measured neutral-to-negative on v5e —
+    # Mosaic serializes anyway — so the default is one monolithic chunk; the
+    # knob is kept for future hardware.
+    if block_q % (q_chunks * 8) != 0:
+        q_chunks = 1
+    rows = block_q // q_chunks
+    n_chunks = q_chunks
+
     @pl.when(ik <= last_needed)
     def _compute():
-        q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
-        s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        s = s * sm_scale
+        # power-of-2 scales are folded into q exactly (block_q x d elements);
+        # other scales apply to the (block_q, block_k) scores
+        fold_scale = math.log2(sm_scale).is_integer() if sm_scale > 0 else False
 
-        needs_idx = causal or (alibi_period is not None) or may_mask
-        if needs_idx:
-            row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        if alibi_period is not None:
-            slope = slope_ref[bh]
-            # floor division (reference uses torch // which floors toward -inf;
-            # lax integer div truncates, so correct negative remainders)
-            d = row - col
-            qd = jax.lax.div(d, alibi_period)
-            rd = d - qd * alibi_period
-            qd = qd - jnp.logical_and(rd != 0, d < 0).astype(jnp.int32)
-            s = s - slope * qd.astype(jnp.float32)
-        if needs_idx:
+        def accumulate(s, r0):
+            """Online-softmax update for rows [r0, r0+rows)."""
+            sl = slice(r0, r0 + rows)
+            m_prev = m_scr[sl, :1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = alpha * l_scr[sl, :1] + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[sl] = acc_scr[sl] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            m_scr[sl] = jnp.broadcast_to(m_new, (rows, m_scr.shape[1]))
+            l_scr[sl] = jnp.broadcast_to(l_new, (rows, l_scr.shape[1]))
+
+        def masked_body(s, r0):
+            row = (
+                iq * block_q + r0
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
+            )
+            col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
+            sm = s
+            if alibi_period is not None:
+                slope = slope_ref[bh]
+                # floor division (reference uses torch // which floors toward
+                # -inf; lax integer div truncates — correct negative remainders)
+                d = row - col
+                qd = jax.lax.div(d, alibi_period)
+                rd = d - qd * alibi_period
+                qd = qd - jnp.logical_and(rd != 0, d < 0).astype(jnp.int32)
+                sm = sm - slope * qd.astype(jnp.float32)
             mask = col < kvlen
             if causal:
                 mask = jnp.logical_and(mask, col <= row)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            accumulate(jnp.where(mask, sm, DEFAULT_MASK_VALUE), r0)
 
-        m_prev = m_scr[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        for c in range(n_chunks):
+            r0 = c * rows
+            q = q_ref[0, r0 : r0 + rows]
+            if fold_scale:
+                q = q * jnp.asarray(sm_scale, q.dtype)
+            s = jax.lax.dot_general(
+                q,
+                k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            if not fold_scale:
+                s = s * sm_scale
+
+            if alibi_period is not None:
+                # the bias touches every (row, col) — no mask-free fast path
+                masked_body(s, r0)
+            elif causal or may_mask:
+                # index/compare/select passes over the score tile are a large
+                # share of the VPU time; run them only on blocks that can
+                # contain an invalid column (tail of the KV length / diagonal
+                # crossers) — interior blocks take the 3-pass fast path
+                needs = (ik + 1) * block_k > kvlen
+                if causal:
+                    needs = jnp.logical_or(
+                        needs, (ik + 1) * block_k - 1 > iq * block_q + r0
+                    )
+                pl.when(needs)(functools.partial(masked_body, s, r0))
+                pl.when(jnp.logical_not(needs))(
+                    functools.partial(accumulate, s, r0)
+                )
+            else:
+                accumulate(s, r0)
 
     @pl.when(ik == last_needed)
     def _finalize():
@@ -262,8 +307,9 @@ def flash_attention_pallas(
     alibi_period: Optional[int] = None,
     kv_lengths: Optional[jnp.ndarray] = None,
     sm_scale: Optional[float] = None,
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    q_chunks: int = 1,
     interpret: bool = False,
     return_lse: bool = False,
 ) -> jnp.ndarray:
@@ -280,8 +326,21 @@ def flash_attention_pallas(
     # lane padding: multiples of 64 are Mosaic-supported; 64 halves the
     # memory traffic vs padding to 128 for the common head_dim=64 case
     d_pad = max(_round_up(d, 64), 64)
-    block_q = min(block_q, _round_up(t_q, 8))
+    if block_k is None:
+        # pick the k-block count that minimizes tail padding with blocks
+        # capped at ~2048 (VMEM) — e.g. T=3600 -> 2 blocks of 1824 (1.3% pad)
+        n_kb = max(1, -(-t_k // 2048))
+        block_k = _round_up(-(-t_k // n_kb), 64)
     block_k = min(block_k, _round_up(t_k, 128))
+    if block_q is None:
+        # whole-q blocks when the f32 score tile fits comfortably in VMEM:
+        # fewer programs amortize fixed per-program cost, and t_q_pad == t_q
+        # eliminates padded-row work (measured ~15% at T=3600, d=64)
+        # rounded to 32 so the kernel's 4-way row-chunk split divides evenly
+        block_q = max(1024, min((8 * 1024 * 1024) // block_k, 4096))
+        block_q = min(block_q, _round_up(t_q, 32))
+    else:
+        block_q = min(block_q, _round_up(t_q, 8))
     t_q_pad = _round_up(t_q, block_q)
     t_k_pad = _round_up(t_k, block_k)
 
@@ -322,6 +381,7 @@ def flash_attention_pallas(
         precision=precision,
         # masking work is skipped entirely when no key can be invalid
         may_mask=kv_lengths is not None or t_k_pad != t_k,
+        q_chunks=q_chunks,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -352,6 +412,11 @@ def flash_attention_pallas(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the (block_q, block_k) f32 score tile dominates scoped VMEM;
+            # leave generous headroom so large-block configs compile
+            vmem_limit_bytes=min(
+                max(64 * 1024 * 1024, 12 * block_q * block_k), 110 * 1024 * 1024
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * t_q * t_k * d,

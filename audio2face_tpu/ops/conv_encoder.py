@@ -6,9 +6,11 @@ src/model/wav2vec.py:116 via feature_extractor) is HBM-bound under XLA: the
 layer-0 output is (B, L/5, 512) — 1.6 GB bf16 for batch-8 x 60 s — and every
 subsequent layer round-trips its activations through HBM. Here:
 
-- layer 0 (k=10, s=5, 1->512) stays in XLA with group-norm + GELU fused into
-  its epilogue: its tiny contraction (10) doesn't fit the MXU anyway, and its
-  output must be materialized exactly once as the kernel's input;
+- the ONLY array that goes to HBM is the layer-0 im2col (B, T0, 16) bf16 —
+  50 MB at 60 s x batch-8. Everything else (all 7 conv layers, the group-norm
+  affine, every GELU) happens inside one Pallas kernel. An XLA layer-0
+  pre-pass was measured at ~17 ms alone: its (B, T0, 512) output is 1.6 GB
+  and must round-trip HBM;
 - group norm needs GLOBAL time statistics, which would break time-tiling —
   but conv0 is linear, so the exact per-(item, channel) stats come
   analytically from the im2col second moments:
@@ -129,10 +131,13 @@ def _gelu_exact(x):
 
 
 def _stack_kernel(
-    h0_hbm,  # (B, T0_pad, C) bf16 in ANY (HBM) — sliced manually (halos)
+    xi_hbm,  # (B, T0_pad/8, 128) bf16 in ANY (HBM) — 8-frame-packed im2col
+    gs_ref,  # (1, 1, 8C) f32 VMEM — folded GN scale, lane-tiled x8, this item
+    gb_ref,  # (1, 1, 8C) f32 VMEM — folded GN bias, lane-tiled x8
+    w0_ref,  # (128, 8C) bf16 VMEM — block-structured layer-0 kernel
     *w_refs,  # per layer: A=(2C, C) [+ B2=(C, C) for k=3] bf16 in VMEM
     o_ref=None,  # (1, F, C) bf16 output block
-    h0_scr=None,  # (c0_pad, C) bf16 VMEM scratch
+    xi_scr=None,  # (c0_pad/8, 128) bf16 VMEM scratch
     sem=None,
     counts: tuple[int, ...] = (),
     f: int = 0,
@@ -140,13 +145,15 @@ def _stack_kernel(
 ):
     bi = pl.program_id(0)
     i = pl.program_id(1)
-    c0_pad = h0_scr.shape[0]
+    c0p = xi_scr.shape[0]  # packed rows = c0_pad / 8
 
     # output tiles map to overlapping input windows (receptive field), which
-    # BlockSpec cannot express — DMA the slice explicitly
-    start = pl.multiple_of(i * 64 * f, 8)
+    # BlockSpec cannot express — DMA the slice explicitly. The slice is the
+    # layer-0 *input*: 8 frames of 16 im2col taps per 128-lane row, 32x
+    # smaller than the layer-0 output an XLA pre-pass would round-trip.
+    start = pl.multiple_of(i * 8 * f, 8)
     dma = pltpu.make_async_copy(
-        h0_hbm.at[bi, pl.ds(start, c0_pad), :], h0_scr, sem
+        xi_hbm.at[bi, pl.ds(start, c0p), :], xi_scr, sem
     )
     dma.start()
 
@@ -157,7 +164,17 @@ def _stack_kernel(
         )
 
     dma.wait()
-    h = h0_scr[:]
+    # layer 0 (k=10, s=5 — already unrolled into im2col rows) in the packed
+    # layout: row g holds frames 8g..8g+7, the block-diagonal w0_ref maps
+    # frame j's taps (lanes 16j..16j+10) to output lanes [512j, 512j+512).
+    # The folded group-norm affine + GELU apply packed; the row-major unpack
+    # (g, 4096) -> (8g, 512) folds into the next matmul's operand read.
+    y0 = mm(xi_scr[:], w0_ref[:])
+    h = (
+        _gelu_exact(y0 * gs_ref[0, 0] + gb_ref[0, 0])
+        .astype(jnp.bfloat16)
+        .reshape(8 * c0p, C)
+    )
 
     wi = 0
     for li, (k, s) in enumerate(zip(CONV_KERNEL[1:], CONV_STRIDE[1:]), start=1):
@@ -192,8 +209,10 @@ def fused_conv_encoder(
     f = min(tile_frames, _round_up(t_final, 8))
     n_tiles = -(-t_final // f)
     counts = tuple(_tile_chain(f))
-    c0_pad = _round_up(counts[0], 8)
-    t0_pad = max(64 * (n_tiles - 1) * f + c0_pad, _round_up(t0, 8))
+    # rows are packed 8-per-128-lane-row for the HBM array and the DMA;
+    # 128-row granularity keeps the packed scratch sublane-aligned (bf16: 16)
+    c0_pad = _round_up(counts[0], 128)
+    t0_pad = max(64 * (n_tiles - 1) * f + c0_pad, _round_up(t0, 128))
 
     w0 = kernels[0].reshape(K0, C)
     feat_lengths = None
@@ -203,16 +222,25 @@ def fused_conv_encoder(
     xi = _im2col10(x)
     mean, rstd = conv0_groupnorm_stats(xi, w0, feat_lengths)
     # fold GN into one affine on the conv0 output: y * gs + gb
-    gs = (rstd * gn_scale[None, :])[:, None, :]
+    gs = (rstd * gn_scale[None, :])[:, None, :]  # (B, 1, C)
     gb = (gn_bias[None, :] - mean * rstd * gn_scale[None, :])[:, None, :]
 
-    # layer 0 in XLA (tiny contraction; affine + GELU fuse into the epilogue)
-    h0 = jnp.einsum(
-        "btj,jc->btc", xi.astype(jnp.bfloat16), w0.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    h0 = jax.nn.gelu(h0 * gs + gb, approximate=False).astype(jnp.bfloat16)
-    h0 = jnp.pad(h0, ((0, 0), (0, t0_pad - t0), (0, 0)))
+    # layer 0 runs INSIDE the kernel: only the packed (B, T0/8, 128) bf16
+    # im2col goes to HBM — 50 MB at 60 s x batch-8, where the layer-0 output
+    # an XLA pre-pass would round-trip is 1.6 GB (measured at ~17 ms, more
+    # than the whole kernel). Each 128-lane row packs 8 frames of 16 taps
+    # (10 valid + 6 zeros); the row-major reshape is a free bitcast.
+    xi16 = jnp.pad(
+        xi.astype(jnp.bfloat16), ((0, 0), (0, t0_pad - t0), (0, 16 - K0))
+    ).reshape(b, t0_pad // 8, 128)
+    # block-structured layer-0 kernel: w0big[16j + l, 512j + c] = w0[l, c]
+    w0p16 = jnp.pad(w0.astype(jnp.bfloat16), ((0, 16 - K0), (0, 0)))  # (16, C)
+    w0big = (
+        jnp.eye(8, dtype=jnp.bfloat16)[:, None, :, None] * w0p16[None, :, None, :]
+    ).reshape(128, 8 * C)
+    # the GN affine applies in the packed layout: tile scale/bias x8 lanes
+    gs8 = jnp.tile(gs, (1, 1, 8))
+    gb8 = jnp.tile(gb, (1, 1, 8))
 
     w_arrays = []
     for k_l, w in zip(CONV_KERNEL[1:], kernels[1:]):
@@ -223,28 +251,33 @@ def fused_conv_encoder(
 
     t_final_pad = n_tiles * f
 
-    def kern(h0_r, *rest):
+    def kern(xi_r, gs_r, gb_r, w0_r, *rest):
         *ws, o_r, scr, sem = rest
         return _stack_kernel(
-            h0_r, *ws, o_ref=o_r, h0_scr=scr, sem=sem,
+            xi_r, gs_r, gb_r, w0_r, *ws, o_ref=o_r, xi_scr=scr, sem=sem,
             counts=counts, f=f, precision=jax.lax.Precision.DEFAULT,
         )
 
     # activations (bf16) + weights + the DMA'd input tile, with headroom for
     # Mosaic's double buffering of the output block
     act_bytes = sum(2 * cnt * 4 * C for cnt in counts)
-    vmem = act_bytes + len(w_arrays) * 2 * C * C * 2 + c0_pad * C * 2
+    vmem = act_bytes + len(w_arrays) * 2 * C * C * 2 + c0_pad * C * 4
     out = pl.pallas_call(
         kern,
         grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xi16 — DMA'd manually
+            pl.BlockSpec((1, 1, 8 * C), lambda bi, ti: (bi, 0, 0)),  # gs8
+            pl.BlockSpec((1, 1, 8 * C), lambda bi, ti: (bi, 0, 0)),  # gb8
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w0big
+        ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(w_arrays),
         out_specs=pl.BlockSpec(
             (1, f, C), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, t_final_pad, C), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((c0_pad, C), jnp.bfloat16),
+            pltpu.VMEM((c0_pad // 8, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -255,9 +288,9 @@ def fused_conv_encoder(
             flops=2 * b * n_tiles * sum(
                 cnt * CONV_KERNEL[i] * C * C for i, cnt in enumerate(counts) if i
             ),
-            bytes_accessed=h0.size * 2 + b * t_final_pad * C * 2,
-            transcendentals=b * n_tiles * sum(counts[1:]) * C,
+            bytes_accessed=xi16.size * 2 + b * t_final_pad * C * 2,
+            transcendentals=b * n_tiles * sum(counts) * C,
         ),
         interpret=interpret,
-    )(h0, *w_arrays)
+    )(xi16, gs8, gb8, w0big, *w_arrays)
     return out[:, :t_final, :]

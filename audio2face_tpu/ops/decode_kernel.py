@@ -88,8 +88,7 @@ def _decode_kernel(
     pe_ref,  # (period, BD) tiled
     hmask_ref,  # (BD, NH_TOT)
     hmask_t_ref,  # (NH_TOT, BD)
-    gmask_ref,  # (BD, B_BLOCK)
-    gmask_t_ref,  # (B_BLOCK, BD)
+    gproj_ref,  # (BD, BD) = gmask @ gmask.T / D — one-matmul grouped mean
     slopes_ref,  # (1, NH_TOT)
     wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     wf1_ref, bf1_ref, wf2_ref, bf2_ref, wfb_ref, bfb_ref,
@@ -124,12 +123,13 @@ def _decode_kernel(
         )
 
     def ln(x, s_ref, b_ref):
-        # grouped layer norm: stats over each item's 64-lane block
-        mu = mm(x, gmask_ref[:]) * (1.0 / D)  # (1, B_BLOCK)
-        mu_full = mm(mu, gmask_t_ref[:])  # (1, BD)
+        # grouped layer norm: stats over each item's 64-lane block. The
+        # (BD, B_BLOCK) reduce + (B_BLOCK, BD) broadcast pair is folded into
+        # one precomputed (BD, BD) projection — the step loop is matmul-
+        # LATENCY bound, so one matvec instead of two is a direct win.
+        mu_full = mm(x, gproj_ref[:])  # (1, BD) per-group mean, broadcast
         xc = x - mu_full
-        var = mm(xc * xc, gmask_ref[:]) * (1.0 / D)
-        var_full = mm(var, gmask_t_ref[:])
+        var_full = mm(xc * xc, gproj_ref[:])
         return xc * jax.lax.rsqrt(var_full + 1e-5) * s_ref[:] + b_ref[:]
 
     def make_step(rows_c: int):
@@ -144,9 +144,12 @@ def _decode_kernel(
             k_scr[pl.ds(t, 1), :] = qkv[:, bd : 2 * bd]
             v_scr[pl.ds(t, 1), :] = qkv[:, 2 * bd :]
 
-            # per-(item, head) scores on the live prefix chunk only
-            kc = k_scr[:rows_c, :]
-            s = mm(kc * q, hmask_ref[:]) * sm_scale  # (rows_c, NH_TOT)
+            # per-(item, head) scores on the live prefix chunk only. q is
+            # folded into the head mask first (BD x NH_TOT elementwise), so
+            # the prefix-height work is ONE matmul — no (rows_c, BD)
+            # elementwise pass over the cache.
+            qmask = hmask_ref[:] * jnp.transpose(q * sm_scale)  # (BD, NH_TOT)
+            s = mm(k_scr[:rows_c, :], qmask)  # (rows_c, NH_TOT)
             dist = jax.lax.div(t - rows, period)
             s = s - slopes * dist.astype(jnp.float32)
             s = jnp.where(rows <= t, s, NEG)
@@ -154,10 +157,11 @@ def _decode_kernel(
             m = jnp.max(s, axis=0, keepdims=True)
             p = jnp.exp(s - m)
             z = jnp.sum(p, axis=0, keepdims=True)
-            p = p / z
-            # expand per-(item, head) probs back onto lanes, contract with V
+            # normalization deferred past the PV reduce: scale the (1, BD)
+            # result instead of the (rows_c, NH_TOT) probabilities
             p_exp = mm(p, hmask_t_ref[:])  # (rows_c, BD)
             attn = jnp.sum(p_exp * v_scr[:rows_c, :], axis=0, keepdims=True)
+            attn = attn * mm(1.0 / z, hmask_t_ref[:])
 
             sa = mm(attn, wo_ref[:]) + bo_ref[:]
             h = ln(x + sa, ln1s_ref, ln1b_ref)
@@ -234,7 +238,8 @@ def faceformer_decode_loop(
         weight_arrays.append(tiled(f"ln{i}_bias"))
 
     hmask = jnp.asarray(_head_mask(b_block))
-    gmask = jnp.asarray(_group_mask(b_block))
+    gmask = np.asarray(_group_mask(b_block))
+    gproj = jnp.asarray((gmask @ gmask.T) / D)  # (BD, BD) grouped-mean proj
     slopes = jnp.tile(jnp.asarray(alibi_slopes(N_HEADS)), b_block)[None]
     pe_packed = jnp.tile(pe.astype(jnp.float32), (1, b_block))
 
@@ -256,7 +261,7 @@ def faceformer_decode_loop(
             pl.BlockSpec((1, t_pad, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(weight_arrays)),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (5 + len(weight_arrays)),
         out_specs=pl.BlockSpec((1, t_pad, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, t_pad, bd), jnp.float32),
         scratch_shapes=[
@@ -275,7 +280,7 @@ def faceformer_decode_loop(
         interpret=interpret,
     )(
         cross_p, style_p, pe_packed, hmask, jnp.transpose(hmask),
-        gmask, jnp.transpose(gmask), slopes, *weight_arrays,
+        gproj, slopes, *weight_arrays,
     )
 
     # unpack (n_blocks, T_pad, BD) -> (B, T, D)

@@ -1,0 +1,84 @@
+"""Fused conv feature-encoder kernel vs the XLA reference path.
+
+The Pallas kernel (ops/conv_encoder.py) runs the whole 7-layer wav2vec2 conv
+stack — layer 0 + analytic group-norm + GELU + layers 1-6 — in one kernel.
+On CPU it runs in interpret mode on tiny shapes; matmuls accumulate f32 from
+bf16 inputs, so parity vs the f32 XLA path is bounded by bf16 resolution.
+
+Reference semantics: HF wav2vec2-base feature_extractor as used by
+/root/reference/src/model/wav2vec.py:91-147.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, FeatureEncoder
+from audio2face_tpu.ops.conv_encoder import (
+    fused_conv_encoder,
+    stack_output_length,
+)
+
+L = 2500  # samples -> 7 output frames
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Wav2Vec2Config()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, L)).astype(np.float32) * 0.1)
+    fe = FeatureEncoder(cfg, dtype=None)
+    variables = jax.jit(fe.init)(jax.random.PRNGKey(0), x)
+    kernels = [variables["params"][f"conv{i}"]["kernel"] for i in range(7)]
+    gn = variables["params"]["group_norm"]
+    return cfg, x, fe, variables, kernels, gn
+
+
+def test_fused_matches_f32_reference(setup):
+    cfg, x, fe, variables, kernels, gn = setup
+    ref = fe.apply(variables, x)
+    out = fused_conv_encoder(
+        x, kernels, gn["scale"], gn["bias"], interpret=True, tile_frames=8
+    )
+    assert out.shape == (2, stack_output_length(L), 512)
+    err = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref)))
+    scale = np.max(np.abs(np.asarray(ref)))
+    assert err < 0.05 * scale, (err, scale)
+
+
+def test_fused_masked_lengths(setup):
+    """Masked group-norm statistics: padded items match the XLA masked path
+    on their valid prefix."""
+    cfg, x, fe, variables, kernels, gn = setup
+    lengths = jnp.asarray([L, L - 800], jnp.int32)
+    ref = fe.apply(variables, x, lengths)
+    out = fused_conv_encoder(
+        x, kernels, gn["scale"], gn["bias"], lengths,
+        interpret=True, tile_frames=8,
+    )
+    feat_lengths = np.asarray(lengths)
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        feat_lengths = (feat_lengths - k) // s + 1
+    for b in range(2):
+        n = feat_lengths[b]
+        err = np.max(np.abs(
+            np.asarray(out, np.float32)[b, :n] - np.asarray(ref)[b, :n]
+        ))
+        assert err < 0.05 * np.max(np.abs(np.asarray(ref))), (b, err)
+
+
+def test_feature_encoder_dispatch_same_tree(setup):
+    """Both execution paths consume one parameter tree (conv{i}/kernel +
+    group_norm/{scale,bias}) — the torch converter's naming contract."""
+    cfg, x, fe, variables, kernels, gn = setup
+    assert set(variables["params"].keys()) == (
+        {f"conv{i}" for i in range(7)} | {"group_norm"}
+    )
+    assert set(gn.keys()) == {"scale", "bias"}
+    # bf16 XLA path runs off the same tree
+    fe16 = FeatureEncoder(cfg, dtype=jnp.bfloat16)
+    out16 = fe16.apply(variables, x, use_pallas=False)
+    ref = fe.apply(variables, x)
+    err = np.max(np.abs(np.asarray(out16, np.float32) - np.asarray(ref)))
+    assert err < 0.05 * np.max(np.abs(np.asarray(ref)))
