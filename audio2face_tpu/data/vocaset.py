@@ -342,6 +342,17 @@ class ClipVocaSet:
         n = len(rows)
         first_audio = self.raw_audio[rows[0][0]][rows[0][1]]
         sr = int(first_audio["sample_rate"])
+        # the fragment window is derived from the first row's sample rate and
+        # shared by the whole batch; a batch that silently mixed rates would
+        # produce misaligned fragments (VOCASET is uniformly 22 kHz, but fail
+        # loudly if a heterogeneous dataset ever lands here)
+        mixed = {
+            int(self.raw_audio[h][s]["sample_rate"]) for h, s, _, _ in rows
+        }
+        if mixed != {sr}:
+            raise ValueError(
+                f"gather_frames requires one sample rate per batch, got {sorted(mixed)}"
+            )
         n_pad = int(sr * FRAGMENT_SECONDS / 2)
         window = 2 * n_pad
 

@@ -229,6 +229,56 @@ def bench_faceformer_train(seconds: float = 10.0):
     }
 
 
+def bench_faceformer_train_batched(seconds: float = 10.0, batch: int = 4):
+    """Padded whole-clip B>1 FaceFormer training — the capability the
+    reference's bs=1 cap (train.py:30-34) forecloses. Variable lengths
+    exercise the masked loss + length-aware encoder."""
+    from audio2face_tpu.config import ExpConfig
+    from audio2face_tpu.training.trainer import Audio2FaceExperiment
+    from audio2face_tpu.parallel.mesh import shard_batch
+
+    n_samples = int(seconds * SR)
+    n_frames = n_samples * FPS // SR
+    cfg = ExpConfig(
+        batch_size=batch, modelname="faceformer", vertex_count=N_VERTS,
+        one_hot_size=N_ONEHOT, feature_extractor=None, sample_rate=SR,
+        split_frame=False, n_feature=32, out_dim=52, win_length=440,
+        percision="16-mixed", lr=1e-4,
+    )
+    exp = Audio2FaceExperiment(cfg, log_dir="/tmp/bench_fftrain_b", tensorboard=False)
+    rng = np.random.default_rng(0)
+    lens = np.linspace(0.7 * n_samples, n_samples, batch).astype(np.int32)
+    b = {
+        "audio": rng.normal(size=(batch, n_samples)).astype(np.float32) * 0.1,
+        "audio_lengths": lens,
+        "verts": rng.normal(size=(batch, n_frames, N_VERTS // 3, 3)).astype(np.float32) * 0.01,
+        "frame_lengths": (lens.astype(np.int64) * FPS // SR).astype(np.int32),
+        "template_vert": rng.normal(size=(batch, N_VERTS // 3, 3)).astype(np.float32) * 0.01,
+        "one_hot": np.eye(N_ONEHOT, dtype=np.float32)[rng.integers(0, N_ONEHOT, batch)],
+    }
+    state = exp.init_state(b)
+    b = shard_batch(exp.mesh, b)
+    key = jax.random.PRNGKey(0)
+    state, m = exp.train_step(state, b, key)
+    float(m["loss"])  # compile + drain
+    n = 10
+    tic = time.perf_counter()
+    for i in range(n):
+        state, m = exp.train_step(state, b, jax.random.fold_in(key, i))
+    loss = float(m["loss"])
+    wall = (time.perf_counter() - tic) / n
+    clips_per_sec = batch / wall
+    return {
+        "metric": f"faceformer train step (10s clips, bs={batch} padded, masked loss)",
+        "value": round(wall * 1e3, 1), "unit": "ms/step",
+        "vs_baseline": None,
+        "detail": {
+            "clips_per_sec": round(clips_per_sec, 2),
+            "frames": n_frames, "loss": round(loss, 4),
+        },
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--suite", action="store_true", help="run all benchmarks")
@@ -245,6 +295,7 @@ def main():
             "faceformer_10s_bs1": bench_faceformer_streaming(10.0, 1),
             "train_step": bench_train_step(),
             "faceformer_train": bench_faceformer_train(),
+            "faceformer_train_batched": bench_faceformer_train_batched(),
         }
         result["detail"]["suite"] = extras
     print(json.dumps({

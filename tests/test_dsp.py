@@ -205,3 +205,66 @@ def test_wav2vec2_normalization():
     y = np.asarray(dsp.wav2vec2_zero_mean_unit_var(jnp.asarray(x)))
     np.testing.assert_allclose(y.mean(axis=-1), 0.0, atol=1e-5)
     np.testing.assert_allclose(y.var(axis=-1), 1.0, atol=1e-3)
+
+
+def test_mfcc_end_to_end_matches_torchaudio_goldens():
+    """Full dsp.mfcc pipeline vs committed goldens from the float64 torch
+    transcription of torchaudio.transforms.MFCC (tests/torchaudio_mirror.py)
+    — closes the gap the per-component tests (stft/dct/mel) leave: the
+    composition itself is pinned, not inferred.
+
+    Reference: torchaudio MFCC at src/model/extractor.py:38-46.
+    """
+    import os
+
+    from tests.torchaudio_mirror import GOLDEN_CONFIGS, golden_inputs, mfcc_torch
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "mfcc_goldens.npz")
+    goldens = np.load(path)
+    x32 = goldens["inputs"].astype(np.float32)
+    np.testing.assert_allclose(goldens["inputs"], golden_inputs(), atol=0)
+
+    for name, cfg in GOLDEN_CONFIGS.items():
+        want = goldens[name]
+        # the committed golden must be reproducible from the live mirror
+        np.testing.assert_allclose(
+            mfcc_torch(goldens["inputs"], **cfg), want, atol=1e-9
+        )
+        got = np.asarray(
+            dsp.mfcc(
+                jnp.asarray(x32),
+                sample_rate=cfg["sample_rate"], n_mfcc=cfg["n_mfcc"],
+                n_fft=cfg["n_fft"], win_length=cfg["win_length"],
+                hop_length=cfg["hop_length"],
+            )
+        )
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        scale = np.abs(want).max()
+        err = np.abs(got - want).max()
+        assert err < 2e-3 * scale, (name, err, scale)
+
+
+def test_mfcc_extractor_end_to_end_matches_torch():
+    """MFCCExtractor (mfcc + bilinear resize to out_dim) vs the torch mirror
+    + F.interpolate — the exact reference extractor contract
+    (src/model/extractor.py:48-59)."""
+    import torch
+
+    from audio2face_tpu.models.extractor import MFCCExtractor
+    from tests.torchaudio_mirror import mfcc_torch
+
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=(2, 11440)) * 0.2).astype(np.float32)
+    fe = MFCCExtractor(22000, 32, 52, 440, None, 1024)
+    got = np.asarray(fe(jnp.asarray(x)))  # (B, 52, 32)
+
+    ref = mfcc_torch(
+        x, sample_rate=22000, n_mfcc=32, n_fft=1024,
+        win_length=440, hop_length=220,
+    )  # (B, 32, T)
+    reft = torch.as_tensor(ref.swapaxes(-1, -2), dtype=torch.float32)  # (B, T, 32)
+    want = torch.nn.functional.interpolate(
+        reft.unsqueeze(1), size=(52, 32), mode="bilinear", align_corners=False
+    ).squeeze(1).numpy()
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-3 * scale
