@@ -18,3 +18,12 @@ from audio2face_tpu.config import ExpConfig
 from audio2face_tpu.registry import get_model, get_extractor, get_loss_fn
 
 __all__ = ["ExpConfig", "get_model", "get_extractor", "get_loss_fn", "__version__"]
+
+
+def __getattr__(name):
+    # lazy: streaming pulls in the full model stack
+    if name == "StreamingFaceFormerPredictor":
+        from audio2face_tpu.streaming import StreamingFaceFormerPredictor
+
+        return StreamingFaceFormerPredictor
+    raise AttributeError(name)

@@ -1,0 +1,279 @@
+"""Streaming (chunked, bounded-lookahead) FaceFormer inference.
+
+The reference has no streaming story at all: it decodes a whole (<=10 s)
+clip offline (src/demo.py:46-83, src/model/faceformer.py:137-188). This
+module adds true incremental decoding — audio goes in chunk by chunk,
+vertex frames come out with bounded latency — built from two halves:
+
+- **encoder (approximate, bounded context).** wav2vec2 is bidirectional, so
+  exact streaming is impossible; each chunk is encoded inside a sliding
+  [left_context | chunk | lookahead] window and only the chunk's center
+  frames are kept. Audio normalization (the Wav2Vec2Processor zero-mean/
+  unit-var the reference applies per whole clip, faceformer.py:142-144)
+  uses *running* statistics over all audio seen so far — causally
+  consistent, and exactly equal to the offline statistics once the stream
+  ends. With a single window covering the whole clip the encoder output is
+  bit-identical to the offline path.
+- **decoder (exact).** The autoregressive decoder is causal, so streaming
+  is exact: the KV cache, the feedback embedding, and the absolute frame
+  counter carry across chunks. Chunk boundaries land on whole frames by
+  construction (window sizes are multiples of 800 samples = 3 frames at
+  60 fps / 16 kHz).
+
+All shapes are static per (window, chunk) bucket — each configuration
+compiles at most two programs (warm-up window + steady-state window).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio2face_tpu.models.faceformer import (
+    FEATURE_DIM,
+    N_HEADS,
+    PERIOD,
+    periodic_positional_encoding,
+)
+from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+from audio2face_tpu.ops.attention import decode_step_attention
+
+AUDIO_SR = 16000
+FPS = 60
+# frame-exact granularity: 800 samples == 3 frames (800 * 60 / 16000)
+GRAIN = 800
+
+
+def _ceil_grain(n: int) -> int:
+    return ((n + GRAIN - 1) // GRAIN) * GRAIN
+
+
+def samples_to_frames(n: int) -> int:
+    return n * FPS // AUDIO_SR
+
+
+class StreamingFaceFormerPredictor:
+    """Incremental FaceFormer decoding with bounded lookahead.
+
+    Parameters
+    ----------
+    variables: FaceFormer variables (``{"params": ...}``) — the same tree
+        ``FaceFormerPredictor`` uses, so any trained/converted checkpoint
+        streams unchanged.
+    chunk_seconds: audio consumed per emission step.
+    left_seconds: encoder left context (larger -> closer to offline output).
+    lookahead_seconds: encoder right context — the algorithmic latency.
+    max_seconds: decoder KV-cache capacity.
+    unit_scale: the x100 training-unit convention (template*scale in,
+        vertices/scale out) — pass 1.0 for raw-unit models.
+    """
+
+    def __init__(
+        self,
+        variables: dict,
+        n_verts: int,
+        *,
+        n_onehot: int = 12,
+        chunk_seconds: float = 1.0,
+        left_seconds: float = 2.0,
+        lookahead_seconds: float = 0.5,
+        max_seconds: float = 120.0,
+        dtype=None,
+        unit_scale: float = 100.0,
+    ):
+        self.params = variables["params"]
+        self.n_verts = n_verts
+        self.n_onehot = n_onehot
+        self.dtype = dtype
+        self.unit_scale = float(unit_scale)
+        self.chunk = _ceil_grain(int(chunk_seconds * AUDIO_SR))
+        self.left = _ceil_grain(int(left_seconds * AUDIO_SR))
+        self.lookahead = _ceil_grain(int(lookahead_seconds * AUDIO_SR))
+        self.t_max = samples_to_frames(_ceil_grain(int(max_seconds * AUDIO_SR)))
+        self.encoder = Wav2Vec2Encoder(Wav2Vec2Config(), dtype=dtype)
+        self._fns: dict = {}
+        self.reset()
+
+    # ------------------------------------------------------------------
+    # stream state
+    # ------------------------------------------------------------------
+
+    def reset(self) -> None:
+        hd = FEATURE_DIM // N_HEADS
+        self._buffer = np.zeros((0,), np.float32)  # unconsumed audio
+        self._history = np.zeros((0,), np.float32)  # encoder left context
+        self._consumed = 0  # samples already encoded into frames
+        self._run_sum = 0.0
+        self._run_sqsum = 0.0
+        self._run_n = 0
+        self._t0 = 0  # absolute frame counter
+        self._emb = None  # decoder feedback carry (set on first chunk)
+        self._k_cache = jnp.zeros((1, N_HEADS, self.t_max, hd), jnp.float32)
+        self._v_cache = jnp.zeros((1, N_HEADS, self.t_max, hd), jnp.float32)
+        self._style_ctx = None  # (one_hot, template) bound at start_stream
+
+    def start_stream(self, one_hot: np.ndarray, template: np.ndarray) -> None:
+        """Bind speaker identity + template; resets any previous stream."""
+        self.reset()
+        self._style_ctx = (
+            jnp.asarray(one_hot, jnp.float32).reshape(1, self.n_onehot),
+            jnp.asarray(template, jnp.float32).reshape(1, -1) * self.unit_scale,
+        )
+
+    # ------------------------------------------------------------------
+    # jitted halves
+    # ------------------------------------------------------------------
+
+    def _encode_fn(self, window: int, n_frames: int, keep_from: int, keep_to: int):
+        """Window audio (already normalized) -> cross/memory slice for the
+        chunk's frames. Exactly FaceFormer.__call__'s encoder block
+        (models/faceformer.py:114-139,169-174) on the window."""
+        p = self.params
+
+        @jax.jit
+        def run(norm_audio):
+            hidden = self.encoder.apply(
+                {"params": p["audio_encoder"]}, norm_audio, output_len=n_frames
+            )
+            compute = jnp.float32
+            memory = (
+                hidden.astype(jnp.float32) @ p["audio_feature_map_kernel"]
+                + p["audio_feature_map_bias"]
+            )
+            cross = (
+                memory @ p["cross_v_kernel"] + p["cross_v_bias"]
+            ) @ p["cross_out_kernel"] + p["cross_out_bias"]
+            return cross[:, keep_from:keep_to].astype(compute)
+
+        return run
+
+    def _decode_fn(self, n_frames: int):
+        """Continue the exact causal decode for ``n_frames`` new frames."""
+        p = self.params
+        d = FEATURE_DIM
+        hd = d // N_HEADS
+        pe = jnp.asarray(periodic_positional_encoding())
+        fb_k = p["vertice_map_r_kernel"] @ p["vertice_map_kernel"]
+        fb_b = p["vertice_map_r_bias"] @ p["vertice_map_kernel"] + p["vertice_map_bias"]
+
+        def layer_norm(x, name):
+            mu = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.var(x, axis=-1, keepdims=True)
+            return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p[f"{name}_scale"] + p[f"{name}_bias"]
+
+        @jax.jit
+        def run(cross_chunk, style, emb0, k_cache, v_cache, t0):
+            def step(carry, xt):
+                emb, k_cache, v_cache = carry
+                t, cross_t = xt
+                x = emb + pe[t % PERIOD]
+                q = (x @ p["dec_q_kernel"] + p["dec_q_bias"]).reshape(1, N_HEADS, hd)
+                k = (x @ p["dec_k_kernel"] + p["dec_k_bias"]).reshape(1, N_HEADS, hd)
+                v = (x @ p["dec_v_kernel"] + p["dec_v_bias"]).reshape(1, N_HEADS, hd)
+                k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k, t, axis=2)
+                v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v, t, axis=2)
+                attn = decode_step_attention(
+                    q, k_cache, v_cache, t, alibi_period=PERIOD
+                )
+                sa = attn.reshape(1, d) @ p["dec_out_kernel"] + p["dec_out_bias"]
+                h = layer_norm(x + sa, "norm1")
+                h = layer_norm(h + cross_t, "norm2")
+                ff = jnp.maximum(h @ p["linear1_kernel"] + p["linear1_bias"], 0.0)
+                ff = ff @ p["linear2_kernel"] + p["linear2_bias"]
+                h = layer_norm(h + ff, "norm3")
+                emb_next = h @ fb_k + fb_b + style
+                return (emb_next, k_cache, v_cache), h
+
+            ts = t0 + jnp.arange(n_frames)
+            (emb, k_cache, v_cache), hs = jax.lax.scan(
+                step, (emb0, k_cache, v_cache), (ts, jnp.swapaxes(cross_chunk, 0, 1))
+            )
+            return emb, k_cache, v_cache, jnp.swapaxes(hs, 0, 1)
+
+        return run
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def push(self, audio: np.ndarray, *, last: bool = False) -> np.ndarray:
+        """Feed audio; returns newly decoded vertices (T_new, V, 3) in data
+        units (possibly empty). ``last=True`` flushes the remainder."""
+        if self._style_ctx is None:
+            raise RuntimeError("call start_stream(one_hot, template) first")
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        self._run_sum += float(audio.sum())
+        self._run_sqsum += float(np.square(audio, dtype=np.float64).sum())
+        self._run_n += audio.size
+        self._buffer = np.concatenate([self._buffer, audio])
+
+        outs = []
+        while len(self._buffer) >= self.chunk + self.lookahead:
+            outs.append(self._emit(self.chunk))
+        if last and len(self._buffer) >= GRAIN:
+            n = len(self._buffer) // GRAIN * GRAIN
+            outs.append(self._emit(n, final=True))
+        if not outs:
+            return np.zeros((0, self.n_verts // 3, 3), np.float32)
+        return np.concatenate(outs)
+
+    def flush(self) -> np.ndarray:
+        """Decode everything still buffered (end of stream)."""
+        return self.push(np.zeros((0,), np.float32), last=True)
+
+    def _emit(self, n_chunk: int, final: bool = False) -> np.ndarray:
+        lookahead = 0 if final else self.lookahead
+        left = min(self.left, self._consumed)
+        window = left + n_chunk + lookahead
+
+        # running (causally consistent) normalization statistics
+        mean = self._run_sum / max(self._run_n, 1)
+        var = max(self._run_sqsum / max(self._run_n, 1) - mean * mean, 0.0)
+        hist = self._history_tail(left)
+        raw = np.concatenate([hist, self._buffer[: n_chunk + lookahead]])
+        norm = (raw - mean) / np.sqrt(var + 1e-7)
+
+        n_frames = samples_to_frames(window)
+        keep_from = samples_to_frames(left)
+        keep_to = keep_from + samples_to_frames(n_chunk)
+        ekey = ("enc", window, keep_from, keep_to)
+        if ekey not in self._fns:
+            self._fns[ekey] = self._encode_fn(window, n_frames, keep_from, keep_to)
+        cross = self._fns[ekey](jnp.asarray(norm)[None])
+
+        one_hot, template = self._style_ctx
+        style = one_hot @ self.params["obj_vector_kernel"]
+        if self._emb is None:
+            self._emb = style.astype(jnp.float32)
+
+        n_new = keep_to - keep_from
+        dkey = ("dec", n_new)
+        if dkey not in self._fns:
+            self._fns[dkey] = self._decode_fn(n_new)
+        self._emb, self._k_cache, self._v_cache, hs = self._fns[dkey](
+            cross, style.astype(jnp.float32), self._emb,
+            self._k_cache, self._v_cache, self._t0,
+        )
+        self._t0 += n_new
+
+        verts = hs.reshape(-1, FEATURE_DIM) @ self.params["vertice_map_r_kernel"]
+        verts = verts + self.params["vertice_map_r_bias"]
+        verts = (verts + template) / self.unit_scale
+        out = np.asarray(verts, np.float32).reshape(n_new, -1, 3)
+
+        self._consumed += n_chunk
+        if self.left:
+            self._history = np.concatenate(
+                [self._history, self._buffer[:n_chunk]]
+            )[-self.left :]
+        self._buffer = self._buffer[n_chunk:]
+        return out
+
+    def _history_tail(self, left: int) -> np.ndarray:
+        if left == 0:
+            return np.zeros((0,), np.float32)
+        return self._history[-left:]

@@ -1,0 +1,115 @@
+"""Streaming (chunked) FaceFormer vs the offline pipeline.
+
+Two bars:
+- **exact**: one window covering the whole clip (left=lookahead=0,
+  chunk=clip) must reproduce the offline FaceFormer output to float
+  tolerance — the decoder carry, running normalization, fps adapter, and
+  vertex head are all exercised with no context truncation;
+- **approximate**: real chunking with bounded context must stay within
+  tolerance of the offline output away from the stream start (the encoder
+  is bidirectional, so truncated context is inherently approximate — the
+  reference cannot stream at all, src/demo.py:46-83).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio2face_tpu.models.faceformer import FaceFormer, frame_count
+from audio2face_tpu.streaming import StreamingFaceFormerPredictor
+
+SR = 16000
+N_VERTS = 300
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = FaceFormer(n_verts=N_VERTS, n_onehot=12, dtype=None, decode_impl="scan")
+    rng = np.random.default_rng(0)
+    n = int(3.0 * SR)  # multiple of 800 -> frame-exact chunk boundaries
+    audio = (rng.normal(size=(1, n)) * 0.1).astype(np.float32)
+    one_hot = np.eye(12, dtype=np.float32)[[3]]
+    template = rng.normal(size=(N_VERTS // 3, 3)).astype(np.float32) * 0.01
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(audio[:, :SR]),
+        jnp.asarray(one_hot), jnp.asarray(template)[None],
+    )
+    # move the zero-init vertice maps off zero so outputs carry signal
+    variables = jax.tree.map(
+        lambda p: p + 0.01 * np.random.default_rng(1).normal(size=p.shape).astype(np.float32),
+        variables,
+    )
+    # offline reference, trainer-predict unit convention (x100 in, /100 out)
+    offline = model.apply(
+        variables, jnp.asarray(audio), jnp.asarray(one_hot),
+        jnp.asarray(template)[None] * 100.0,
+    )
+    offline = np.asarray(offline)[0] / 100.0
+    return variables, audio, one_hot, template, offline
+
+
+def test_single_window_matches_offline_exactly(setup):
+    variables, audio, one_hot, template, offline = setup
+    pred = StreamingFaceFormerPredictor(
+        variables, N_VERTS, chunk_seconds=3.0, left_seconds=0.0,
+        lookahead_seconds=0.0,
+    )
+    pred.start_stream(one_hot, template)
+    out = pred.push(audio[0], last=True)
+    assert out.shape == offline.shape
+    scale = np.abs(offline - template[None]).max()
+    err = np.abs(out - offline).max()
+    assert err < 1e-5 + 1e-4 * scale, (err, scale)
+
+
+def test_chunked_matches_offline_within_tolerance(setup):
+    """0.8 s chunks, 1.6 s left context, 0.4 s lookahead: mid-stream frames
+    track the offline output; incremental emission covers every frame."""
+    variables, audio, one_hot, template, offline = setup
+    pred = StreamingFaceFormerPredictor(
+        variables, N_VERTS, chunk_seconds=0.8, left_seconds=1.6,
+        lookahead_seconds=0.4,
+    )
+    pred.start_stream(one_hot, template)
+    outs = []
+    step = int(0.4 * SR)
+    for i in range(0, audio.shape[1], step):
+        outs.append(pred.push(audio[0, i : i + step]))
+    outs.append(pred.flush())
+    out = np.concatenate([o for o in outs if o.size])
+    n_frames = frame_count(audio.shape[1])
+    assert out.shape == (n_frames, N_VERTS // 3, 3)
+
+    # offsets (the actual animation signal) on mid-stream frames where the
+    # sliding window has full context
+    off_s = out - template[None]
+    off_f = offline - template[None]
+    mid = slice(60, n_frames - 30)
+    scale = np.abs(off_f[mid]).max()
+    err = np.abs(off_s[mid] - off_f[mid]).max()
+    assert err < 0.25 * scale, (err, scale)
+    # and the two signals are strongly correlated, not just small
+    a = off_s[mid].ravel()
+    b = off_f[mid].ravel()
+    corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert corr > 0.95, corr
+
+
+def test_streaming_latency_bound(setup):
+    """Frames for chunk k arrive after at most chunk+lookahead audio beyond
+    the chunk — the algorithmic latency contract."""
+    variables, audio, one_hot, template, offline = setup
+    pred = StreamingFaceFormerPredictor(
+        variables, N_VERTS, chunk_seconds=0.8, left_seconds=0.8,
+        lookahead_seconds=0.4,
+    )
+    pred.start_stream(one_hot, template)
+    # push exactly chunk+lookahead: the first chunk must be emitted
+    n = pred.chunk + pred.lookahead
+    out = pred.push(audio[0, :n])
+    assert out.shape[0] == frame_count(pred.chunk)
+    # pushing less than a chunk more produces nothing yet
+    out2 = pred.push(audio[0, n : n + 400])
+    assert out2.shape[0] == 0
