@@ -261,6 +261,9 @@ def interp_linear(x: jnp.ndarray, out_size: int, *, axis: int, align_corners: bo
     if in_size == out_size and align_corners:
         return x
     lo, hi, w_hi = _interp_weights(in_size, out_size, align_corners)
+    # (a dense-matmul formulation of the 2-banded interp matrix was tried
+    # for the bf16 path and measured SLOWER than the gather — 3.0 ms vs
+    # 1.7 ms at (8, 2999->3600, 512) — XLA handles this gather acceptably)
     x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
     x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
     shape = [1] * x.ndim
