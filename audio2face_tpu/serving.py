@@ -11,6 +11,11 @@ per length; this module gives the production path:
 - padded batching up to ``max_batch`` speakers per call (BASELINE config #4);
 - weights from an orbax checkpoint, a converted PyTorch/Lightning
   checkpoint, or random init for benchmarking;
+- optional multi-chip fleet serving: pass a ``(data, 1)``
+  ``jax.sharding.Mesh`` and each call is sharded over the batch axis with
+  ``shard_map`` — every chip runs the full model (including the Pallas
+  decode/attention kernels, which GSPMD cannot partition on its own) on its
+  local slice of the batch;
 - outputs in data units: checkpoints — from this trainer AND from the
   reference (src/model/lightning_model.py:145-148) — are trained with the
   x100 vertex-unit convention, so the predictor feeds ``template * 100``
@@ -49,6 +54,7 @@ class FaceFormerPredictor:
         seed: int = 0,
         decode_impl: Optional[str] = None,
         unit_scale: float = 100.0,
+        mesh=None,
     ):
         self.model = FaceFormer(
             n_verts=n_verts,
@@ -68,6 +74,15 @@ class FaceFormerPredictor:
                 jnp.zeros((1, n_onehot), jnp.float32),
                 jnp.zeros((1, n_verts // 3, 3), jnp.float32),
             )
+        self.mesh = mesh
+        if mesh is not None:
+            from audio2face_tpu.parallel.mesh import replicate
+
+            n_data = mesh.shape["data"]
+            if self.max_batch % n_data != 0:
+                # each chip gets max_batch/n_data items; keep it whole
+                self.max_batch = _round_up(self.max_batch, n_data)
+            variables = replicate(mesh, variables)
         self.variables = variables
         self._fns: dict = {}
 
@@ -97,7 +112,6 @@ class FaceFormerPredictor:
 
             scale = self.unit_scale
 
-            @jax.jit
             def fn(variables, audio, one_hot, template, lengths):
                 # x100 training-unit convention in, /100 out — matches
                 # trainer.predict (lightning_model.py:145-148, 215-225)
@@ -106,8 +120,29 @@ class FaceFormerPredictor:
                 )
                 return verts / scale, mask
 
-            self._fns[key] = fn
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                from jax.experimental.shard_map import shard_map
+
+                # manual SPMD: each chip runs the whole model (Pallas
+                # kernels included) on its local batch slice; no collectives
+                # are needed — serving is embarrassingly data-parallel
+                fn = shard_map(
+                    fn,
+                    mesh=self.mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+                    out_specs=(P("data"), P("data")),
+                    check_rep=False,
+                )
+            self._fns[key] = jax.jit(fn)
         return self._fns[key]
+
+    def _put(self, x):
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P("data")))
 
     def __call__(
         self,
@@ -144,18 +179,26 @@ class FaceFormerPredictor:
             max_len = max(len(a) for a in group)
             samples = _round_up(max(max_len, self.bucket_samples), self.bucket_samples)
             b = len(group)
-            audio_pad = np.zeros((b, samples), np.float32)
-            lengths = np.zeros((b,), np.int32)
+            b_pad = b
+            if self.mesh is not None:
+                b_pad = _round_up(b, self.mesh.shape["data"])
+            audio_pad = np.zeros((b_pad, samples), np.float32)
+            # dummy rows (mesh padding) get a short valid length -> 0 frames
+            lengths = np.full((b_pad,), min(800, samples), np.int32)
+            oh = np.zeros((b_pad, one_hot.shape[1]), one_hot.dtype)
+            tmpl = np.zeros((b_pad,) + template.shape[1:], np.float32)
             for j, a in enumerate(group):
                 audio_pad[j, : len(a)] = a
                 lengths[j] = len(a)
-            fn = self._get_fn(b, samples)
+            oh[:b] = one_hot[idx]
+            tmpl[:b] = template[idx].astype(np.float32)
+            fn = self._get_fn(b_pad, samples)
             verts, mask = fn(
                 self.variables,
-                jnp.asarray(audio_pad),
-                jnp.asarray(one_hot[idx]),
-                jnp.asarray(template[idx].astype(np.float32)),
-                jnp.asarray(lengths),
+                self._put(jnp.asarray(audio_pad)),
+                self._put(jnp.asarray(oh)),
+                self._put(jnp.asarray(tmpl)),
+                self._put(jnp.asarray(lengths)),
             )
             verts = np.asarray(verts, np.float32)
             n_valid = np.asarray(mask).sum(axis=1).astype(int)

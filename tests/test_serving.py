@@ -112,3 +112,31 @@ def test_one_hot_batch_mismatch(predictor):
     with pytest.raises(ValueError, match="one_hot"):
         predictor([np.zeros(8000, np.float32)], np.eye(12, dtype=np.float32)[[0, 1]],
                   np.zeros((100, 3), np.float32))
+
+
+def test_mesh_sharded_serving_matches_single_device(predictor):
+    """Fleet serving: a (data, 1) mesh predictor shard_maps each call over
+    the batch axis (Pallas kernels run per-chip on local slices) and must
+    reproduce the single-device predictor exactly, including when the batch
+    needs padding to the mesh width."""
+    from audio2face_tpu.parallel.mesh import make_mesh
+
+    mesh_pred = FaceFormerPredictor(
+        n_verts=300, bf16=False, max_batch=4, bucket_seconds=0.5,
+        decode_impl="scan", variables=predictor.variables,
+        mesh=make_mesh((4, 1), devices=jax.devices()[:4]),
+    )
+    rng = np.random.default_rng(3)
+    # 3 clips on a 4-wide mesh -> one dummy padding row
+    audios = [
+        (rng.normal(size=int(s * 16000)) * 0.1).astype(np.float32)
+        for s in (0.3, 0.5, 0.25)
+    ]
+    one_hot = np.eye(12, dtype=np.float32)[[1, 5, 8]]
+    template = rng.normal(size=(100, 3)).astype(np.float32)
+
+    want = predictor(audios, one_hot, template)
+    got = mesh_pred(audios, one_hot, template)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-5)
