@@ -86,3 +86,54 @@ def test_images_to_video_and_audio(tmp_path):
     assert os.path.getsize(path) > 0
     wav = save_audio(np.zeros(1600, np.float32), str(tmp_path))
     assert os.path.getsize(wav) > 0
+
+
+def test_render_golden_image(tmp_path):
+    """Full-frame golden: the synthetic face mesh rendered by the software
+    rasterizer must match the committed PNG (pins shading, projection,
+    z-buffer, and banding end-to-end — the reference's pyrender output is
+    unavailable here, so the golden pins THIS renderer against regression).
+
+    Regenerate after an intentional change:
+        python -c "from tests.test_renderer import _write_golden; _write_golden()"
+    """
+    import os
+
+    import cv2
+
+    img = _golden_render()
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "render_golden.png")
+    want = cv2.imread(path, cv2.IMREAD_COLOR)
+    assert want is not None, f"missing golden at {path}"
+    assert img.shape == want.shape
+    diff = np.abs(img.astype(np.int32) - want.astype(np.int32))
+    frac_diff = float((diff.max(axis=-1) > 3).mean())
+    assert frac_diff < 0.01, (frac_diff, diff.max())
+    # the face must actually cover a meaningful part of the frame
+    assert (img.max(axis=-1) < 250).mean() > 0.05
+
+
+def _golden_render():
+    import tempfile
+
+    from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+    from audio2face_tpu.utils.facemesh import FaceMesh
+    from audio2face_tpu.utils.renderer import Renderer
+
+    with tempfile.TemporaryDirectory() as d:
+        path = generate_synthetic_face_obj(d + "/face.obj")
+        mesh = FaceMesh.load(path)
+    r = Renderer(mesh)
+    return r._render_frame(np.asarray(mesh.verts, np.float32))
+
+
+def _write_golden():  # pragma: no cover
+    import os
+
+    import cv2
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(here, "fixtures"), exist_ok=True)
+    path = os.path.join(here, "fixtures", "render_golden.png")
+    cv2.imwrite(path, _golden_render())
+    print("wrote", path)
