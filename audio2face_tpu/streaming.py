@@ -227,7 +227,12 @@ class StreamingFaceFormerPredictor:
 
     def _emit(self, n_chunk: int, final: bool = False) -> np.ndarray:
         lookahead = 0 if final else self.lookahead
-        left = min(self.left, self._consumed)
+        # the window is ALWAYS full-width: missing left context at stream
+        # start is zero-padded (normalized zeros are a constant the encoder
+        # contextualizes away within a few frames). A growing warm-up window
+        # would be slightly closer to offline but costs one encoder
+        # compilation per distinct width — minutes each on TPU.
+        left = self.left
         window = left + n_chunk + lookahead
 
         # running (causally consistent) normalization statistics
@@ -276,4 +281,7 @@ class StreamingFaceFormerPredictor:
     def _history_tail(self, left: int) -> np.ndarray:
         if left == 0:
             return np.zeros((0,), np.float32)
-        return self._history[-left:]
+        have = self._history[-left:]
+        if len(have) < left:  # stream start: zero-pad the missing context
+            have = np.concatenate([np.zeros(left - len(have), np.float32), have])
+        return have

@@ -28,6 +28,12 @@ def main() -> None:
     parser.add_argument("--video", action="store_true", help="render mp4 per clip")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--f32", action="store_true")
+    parser.add_argument("--streaming", action="store_true",
+                        help="decode incrementally with bounded lookahead "
+                             "(simulated live input; prints per-chunk latency)")
+    parser.add_argument("--chunk-seconds", type=float, default=1.0)
+    parser.add_argument("--left-seconds", type=float, default=2.0)
+    parser.add_argument("--lookahead-seconds", type=float, default=0.5)
     args = parser.parse_args()
 
     import scipy.io.wavfile as wavfile
@@ -64,7 +70,11 @@ def main() -> None:
     one_hot = np.eye(predictor.n_onehot, dtype=np.float32)[subjects]
     template = np.asarray(mesh.verts, np.float32)
 
-    results = predictor(audios, one_hot, template, sample_rate=rates.pop())
+    sr = rates.pop()
+    if args.streaming:
+        results = _stream(predictor, audios, one_hot, template, sr, args)
+    else:
+        results = predictor(audios, one_hot, template, sample_rate=sr)
 
     os.makedirs(args.output, exist_ok=True)
     for path, verts in zip(args.audio, results):
@@ -79,6 +89,51 @@ def main() -> None:
             images = renderer.render(verts)
             clip_dir = os.path.join(args.output, stem)
             images_to_video(images, clip_dir)
+
+
+def _stream(predictor, audios, one_hot, template, sr, args):
+    """Feed each clip chunk-by-chunk through the streaming predictor,
+    reporting wall latency per emitted chunk."""
+    import time
+
+    import jax.numpy as jnp
+
+    from audio2face_tpu.ops.dsp import resample
+    from audio2face_tpu.streaming import AUDIO_SR, StreamingFaceFormerPredictor
+
+    stream = StreamingFaceFormerPredictor(
+        predictor.variables, n_verts=predictor.n_verts,
+        n_onehot=predictor.n_onehot,
+        chunk_seconds=args.chunk_seconds, left_seconds=args.left_seconds,
+        lookahead_seconds=args.lookahead_seconds,
+        dtype=None if args.f32 else jnp.bfloat16,
+        unit_scale=predictor.unit_scale,
+    )
+    results = []
+    feed = int(0.1 * AUDIO_SR)  # simulated 100 ms microphone packets
+    for clip_i, audio in enumerate(audios):
+        if sr != AUDIO_SR:
+            audio = np.asarray(resample(jnp.asarray(audio)[None], sr, AUDIO_SR)[0])
+        stream.start_stream(one_hot[clip_i], template)
+        outs, n_chunks, lat = [], 0, 0.0
+        for off in range(0, len(audio), feed):
+            tic = time.perf_counter()
+            got = stream.push(audio[off : off + feed])
+            dt = time.perf_counter() - tic
+            if got.size:
+                outs.append(got)
+                n_chunks += 1
+                lat += dt
+        outs.append(stream.flush())
+        results.append(np.concatenate([o for o in outs if o.size]))
+        if n_chunks:
+            print(
+                f"clip {clip_i}: {n_chunks} chunks, "
+                f"{lat / n_chunks * 1e3:.1f} ms compute/chunk "
+                f"({args.chunk_seconds * 1e3:.0f} ms audio each, "
+                f"lookahead {args.lookahead_seconds:.1f}s)"
+            )
+    return results
 
 
 if __name__ == "__main__":
