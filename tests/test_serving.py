@@ -140,3 +140,53 @@ def test_mesh_sharded_serving_matches_single_device(predictor):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=1e-5)
+
+
+def test_batching_server_coalesces_and_matches_direct(predictor):
+    """Concurrent submissions through BatchingServer return exactly the
+    direct predictor outputs, including across mixed lengths."""
+    import threading
+
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    rng = np.random.default_rng(7)
+    audios = [
+        (rng.normal(size=int(s * 16000)) * 0.1).astype(np.float32)
+        for s in (0.3, 0.45, 0.25, 0.5, 0.35)
+    ]
+    one_hot = np.eye(12, dtype=np.float32)[[0, 3, 5, 7, 9]]
+    template = rng.normal(size=(100, 3)).astype(np.float32)
+    want = predictor(audios, one_hot, template)
+
+    server = BatchingServer(predictor, max_wait_ms=50.0)
+    futures = [None] * len(audios)
+
+    def submit(i):
+        futures[i] = server.submit(audios[i], one_hot[i], template)
+
+    threads = [threading.Thread(target=submit, args=(i,)) for i in range(len(audios))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    got = [f.result(timeout=120) for f in futures]
+    server.close()
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-5)
+
+
+def test_batching_server_close_drains():
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    class Fake:
+        max_batch = 4
+
+        def __call__(self, audios, one_hot, template, sample_rate=16000):
+            return [np.full((3, 2, 3), float(len(a))) for a in audios]
+
+    server = BatchingServer(Fake(), max_wait_ms=5.0)
+    f = server.submit(np.zeros(100, np.float32), np.zeros(12), np.zeros((2, 3)))
+    assert f.result(timeout=10).shape == (3, 2, 3)
+    server.close()
+    with pytest.raises(RuntimeError):
+        server.submit(np.zeros(10, np.float32), np.zeros(12), np.zeros((2, 3)))
