@@ -44,6 +44,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -115,6 +116,76 @@ def conv0_groupnorm_stats(
     )
     var = jnp.maximum(ey2 - jnp.square(mean), 0.0)
     return mean, jax.lax.rsqrt(var + EPS)
+
+
+def _packed_im2col_and_stats(
+    x: jnp.ndarray,  # (B, L) f32 waveform
+    w0: jnp.ndarray,  # (10, C) f32
+    t0: int,
+    t0_pad: int,
+):
+    """Build the 8-frame-packed bf16 im2col and the exact group-norm stats
+    WITHOUT any narrow-lane intermediate.
+
+    XLA tiles every HBM array to 128 lanes, so a (B, T0, 10) f32 im2col is
+    physically 12.8x its logical size — the naive build + stats einsum cost
+    ~6 ms at 60 s x batch-8. Here the only intermediate is (B, G, 48) f32
+    (G = T0/8): row g holds samples [40g, 40g+48), i.e. the union of the 8
+    overlapping windows of frame group g.
+
+    - packing: window j' of group g occupies lanes [5j', 5j'+10) of the row,
+      so the (48 -> 128) 0/1 selection matrix M with
+      M[5j'+l, 16j'+l] = 1 produces the packed layout in ONE matmul;
+    - statistics: mu_j = sum_{j'} rowmean[5j'+j], and the (10, 10) window
+      correlation C_jk = sum_{j'} R[5j'+j, 5j'+k] where R is the (48, 48)
+      row self-correlation — one MXU contraction over G instead of a
+      128-lane-padded einsum over T0. One fractional window (the first
+      invalid index t0, which still overlaps up to 5 real samples) is
+      subtracted exactly.
+    """
+    b, n = x.shape
+    g_rows = t0_pad // 8
+    xpad = jnp.pad(x, ((0, 0), (0, max(40 * g_rows + 48 - n, 0))))
+    a = xpad[:, : 40 * g_rows].reshape(b, g_rows, 40)
+    a2 = xpad[:, 40 : 40 * (g_rows + 1)].reshape(b, g_rows, 40)[:, :, :8]
+    rows48 = jnp.concatenate([a, a2], axis=-1)  # (B, G, 48) f32
+
+    # selection matrix: lane 5j'+l of a row -> packed lane 16j'+l
+    sel = np.zeros((48, 128), np.float32)
+    for jp in range(8):
+        for l in range(K0):
+            sel[5 * jp + l, 16 * jp + l] = 1.0
+    xi16 = jnp.einsum(
+        "bgs,sm->bgm", rows48.astype(jnp.bfloat16),
+        jnp.asarray(sel, jnp.bfloat16),
+    ).astype(jnp.bfloat16)  # (B, G, 128)
+
+    # ---- statistics (f32, exact) ------------------------------------
+    rowsum = jnp.sum(rows48, axis=1)  # (B, 48)
+    corr48 = jnp.einsum(
+        "bga,bgh->bah", rows48, rows48,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, 48, 48)
+    musum = sum(rowsum[:, 5 * d : 5 * d + K0] for d in range(8))  # (B, 10)
+    csum = sum(
+        corr48[:, 5 * d : 5 * d + K0, 5 * d : 5 * d + K0] for d in range(8)
+    )  # (B, 10, 10)
+    if t0 < t0_pad:
+        # subtract the fractional window at index t0 (first invalid): it
+        # starts at sample 5*t0 and may still overlap up to 5 real samples;
+        # later invalid windows start at >= n and are all-zero already
+        frac = xpad[:, 5 * t0 : 5 * t0 + K0]  # (B, 10)
+        musum = musum - frac
+        csum = csum - jnp.einsum("bj,bk->bjk", frac, frac)
+    mu = musum / t0
+    corr = csum / t0
+    w0f = w0.astype(jnp.float32)
+    mean = mu @ w0f  # (B, C)
+    ey2 = jnp.einsum(
+        "bjk,jc,kc->bc", corr, w0f, w0f, precision=jax.lax.Precision.HIGHEST
+    )
+    var = jnp.maximum(ey2 - jnp.square(mean), 0.0)
+    return xi16, mean, jax.lax.rsqrt(var + EPS)
 
 
 def _gelu_exact(x):
@@ -215,24 +286,28 @@ def fused_conv_encoder(
     t0_pad = max(64 * (n_tiles - 1) * f + c0_pad, _round_up(t0, 128))
 
     w0 = kernels[0].reshape(K0, C)
-    feat_lengths = None
-    if lengths is not None:
-        feat_lengths = (lengths - K0) // S0 + 1
-
-    xi = _im2col10(x)
-    mean, rstd = conv0_groupnorm_stats(xi, w0, feat_lengths)
-    # fold GN into one affine on the conv0 output: y * gs + gb
-    gs = (rstd * gn_scale[None, :])[:, None, :]  # (B, 1, C)
-    gb = (gn_bias[None, :] - mean * rstd * gn_scale[None, :])[:, None, :]
 
     # layer 0 runs INSIDE the kernel: only the packed (B, T0/8, 128) bf16
     # im2col goes to HBM — 50 MB at 60 s x batch-8, where the layer-0 output
     # an XLA pre-pass would round-trip is 1.6 GB (measured at ~17 ms, more
     # than the whole kernel). Each 128-lane row packs 8 frames of 16 taps
-    # (10 valid + 6 zeros); the row-major reshape is a free bitcast.
-    xi16 = jnp.pad(
-        xi.astype(jnp.bfloat16), ((0, 0), (0, t0_pad - t0), (0, 16 - K0))
-    ).reshape(b, t0_pad // 8, 128)
+    # (10 valid + 6 zeros).
+    if lengths is None:
+        # narrow-lane-free build: the (B, T0, 10) im2col is physically
+        # 12.8x its logical size in XLA's 128-lane tiling — this path
+        # replaces it with a (B, T0/8, 48) intermediate + selection matmul
+        xi16, mean, rstd = _packed_im2col_and_stats(x, w0, t0, t0_pad)
+    else:
+        feat_lengths = (lengths - K0) // S0 + 1
+        xi = _im2col10(x)
+        mean, rstd = conv0_groupnorm_stats(xi, w0, feat_lengths)
+        xi16 = jnp.pad(
+            xi.astype(jnp.bfloat16), ((0, 0), (0, t0_pad - t0), (0, 16 - K0))
+        ).reshape(b, t0_pad // 8, 128)
+
+    # fold GN into one affine on the conv0 output: y * gs + gb
+    gs = (rstd * gn_scale[None, :])[:, None, :]  # (B, 1, C)
+    gb = (gn_bias[None, :] - mean * rstd * gn_scale[None, :])[:, None, :]
     # block-structured layer-0 kernel: w0big[16j + l, 512j + c] = w0[l, c]
     w0p16 = jnp.pad(w0.astype(jnp.bfloat16), ((0, 16 - K0), (0, 0)))  # (16, C)
     w0big = (

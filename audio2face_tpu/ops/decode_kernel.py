@@ -60,7 +60,10 @@ NEG = -1e30
 # dynamic single-row loads/stores require f32 (Mosaic cannot prove sublane
 # alignment for bf16 rows), so every T-height buffer is f32
 DEFAULT_B_BLOCK = 8
-CHUNK = 512
+# prefix-chunking sweep at T=3600: 64->22.4ms, 256->22.7, 512->24.1,
+# 1024->25.2; 256 balances step cost against per-chunk code duplication
+# (each chunk instantiates its own loop body -> compile time)
+CHUNK = 256
 
 
 def _head_mask(b_block: int) -> np.ndarray:
