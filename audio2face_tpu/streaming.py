@@ -131,15 +131,17 @@ class StreamingFaceFormerPredictor:
     def _encode_fn(self, window: int, n_frames: int, keep_from: int, keep_to: int):
         """Window audio (already normalized) -> cross/memory slice for the
         chunk's frames. Exactly FaceFormer.__call__'s encoder block
-        (models/faceformer.py:114-139,169-174) on the window."""
-        p = self.params
+        (models/faceformer.py:114-139,169-174) on the window.
+
+        Params are jit ARGUMENTS, not closure constants — closed-over arrays
+        bake ~380 MB of literals into the compile payload (a remote-compile
+        link rejects it outright)."""
 
         @jax.jit
-        def run(norm_audio):
+        def run(p, norm_audio):
             hidden = self.encoder.apply(
                 {"params": p["audio_encoder"]}, norm_audio, output_len=n_frames
             )
-            compute = jnp.float32
             memory = (
                 hidden.astype(jnp.float32) @ p["audio_feature_map_kernel"]
                 + p["audio_feature_map_bias"]
@@ -147,26 +149,28 @@ class StreamingFaceFormerPredictor:
             cross = (
                 memory @ p["cross_v_kernel"] + p["cross_v_bias"]
             ) @ p["cross_out_kernel"] + p["cross_out_bias"]
-            return cross[:, keep_from:keep_to].astype(compute)
+            return cross[:, keep_from:keep_to].astype(jnp.float32)
 
         return run
 
     def _decode_fn(self, n_frames: int):
         """Continue the exact causal decode for ``n_frames`` new frames."""
-        p = self.params
         d = FEATURE_DIM
         hd = d // N_HEADS
         pe = jnp.asarray(periodic_positional_encoding())
-        fb_k = p["vertice_map_r_kernel"] @ p["vertice_map_kernel"]
-        fb_b = p["vertice_map_r_bias"] @ p["vertice_map_kernel"] + p["vertice_map_bias"]
-
-        def layer_norm(x, name):
-            mu = jnp.mean(x, axis=-1, keepdims=True)
-            var = jnp.var(x, axis=-1, keepdims=True)
-            return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p[f"{name}_scale"] + p[f"{name}_bias"]
 
         @jax.jit
-        def run(cross_chunk, style, emb0, k_cache, v_cache, t0):
+        def run(p, cross_chunk, style, emb0, k_cache, v_cache, t0):
+            fb_k = p["vertice_map_r_kernel"] @ p["vertice_map_kernel"]
+            fb_b = (
+                p["vertice_map_r_bias"] @ p["vertice_map_kernel"]
+                + p["vertice_map_bias"]
+            )
+
+            def layer_norm(x, name):
+                mu = jnp.mean(x, axis=-1, keepdims=True)
+                var = jnp.var(x, axis=-1, keepdims=True)
+                return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p[f"{name}_scale"] + p[f"{name}_bias"]
             def step(carry, xt):
                 emb, k_cache, v_cache = carry
                 t, cross_t = xt
@@ -248,7 +252,7 @@ class StreamingFaceFormerPredictor:
         ekey = ("enc", window, keep_from, keep_to)
         if ekey not in self._fns:
             self._fns[ekey] = self._encode_fn(window, n_frames, keep_from, keep_to)
-        cross = self._fns[ekey](jnp.asarray(norm)[None])
+        cross = self._fns[ekey](self.params, jnp.asarray(norm)[None])
 
         one_hot, template = self._style_ctx
         style = one_hot @ self.params["obj_vector_kernel"]
@@ -260,7 +264,7 @@ class StreamingFaceFormerPredictor:
         if dkey not in self._fns:
             self._fns[dkey] = self._decode_fn(n_new)
         self._emb, self._k_cache, self._v_cache, hs = self._fns[dkey](
-            cross, style.astype(jnp.float32), self._emb,
+            self.params, cross, style.astype(jnp.float32), self._emb,
             self._k_cache, self._v_cache, self._t0,
         )
         self._t0 += n_new
