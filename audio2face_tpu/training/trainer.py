@@ -372,12 +372,19 @@ class Audio2FaceExperiment:
                     train_errs.append(metrics["err"])
                 if profiling:  # fewer than 5 steps in the epoch
                     jax.profiler.stop_trace()
-                train_err = float(np.mean([float(e) for e in train_errs])) if train_errs else float("nan")
+                # ONE device->host fetch for the whole epoch's metrics — a
+                # per-scalar fetch costs a full round trip each on a
+                # remote-TPU link
+                train_err = (
+                    float(jnp.mean(jnp.stack(train_errs))) if train_errs else float("nan")
+                )
 
                 val_errs = []
                 for batch in datamodule.val_batches():
-                    val_errs.append(float(self.eval_step(state, batch)["err"]))
-                val_err = float(np.mean(val_errs)) if val_errs else float("nan")
+                    val_errs.append(self.eval_step(state, batch)["err"])
+                val_err = (
+                    float(jnp.mean(jnp.stack(val_errs))) if val_errs else float("nan")
+                )
 
                 row = {
                     "epoch": epoch, "train/err": train_err, "val/err": val_err,
