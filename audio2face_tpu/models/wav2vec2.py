@@ -112,24 +112,24 @@ class MaskedGroupNorm(nn.Module):
         return out.astype(h.dtype)
 
 
-class _ConvKernel(nn.Module):
-    """Bare conv kernel parameter under the same ``conv{i}/kernel`` path
+class _ConvParams(nn.Module):
+    """Bare conv parameters under the same ``conv{i}/{kernel,bias}`` paths
     nn.Conv would use — declared once, consumed by either the XLA conv path
-    or the fused Pallas kernel."""
+    or the fused Pallas kernel. (One module per conv layer: kernel and bias
+    must share the ``conv{i}`` name scope.)"""
 
     shape: tuple[int, int, int]  # (k, c_in, c_out)
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
-
-
-class _ConvBias(nn.Module):
-    shape: tuple[int, ...]
-
-    @nn.compact
-    def __call__(self):
-        return self.param("bias", nn.initializers.zeros, self.shape)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 class FeatureEncoder(nn.Module):
@@ -152,21 +152,20 @@ class FeatureEncoder(nn.Module):
     def __call__(self, x, lengths=None, use_pallas: Optional[bool] = None):
         cfg = self.config
         kernels = []
+        biases = [] if cfg.conv_bias else None
         c_in = 1
         for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
-            kernels.append(_ConvKernel((k, c_in, dim), name=f"conv{i}")())
+            kernel, bias = _ConvParams(
+                (k, c_in, dim), use_bias=cfg.conv_bias, name=f"conv{i}"
+            )()
+            kernels.append(kernel)
+            if biases is not None:
+                biases.append(bias)
             c_in = dim
         gn = MaskedGroupNorm(
             channels=cfg.conv_dim[0], epsilon=cfg.layer_norm_eps,
             dtype=self.dtype, name="group_norm",
         )
-
-        biases = None
-        if cfg.conv_bias:
-            biases = [
-                _ConvBias((dim,), name=f"conv{i}")()
-                for i, dim in enumerate(cfg.conv_dim)
-            ]
 
         from audio2face_tpu.ops import conv_encoder as ce
 

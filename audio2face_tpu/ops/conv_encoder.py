@@ -170,13 +170,15 @@ def _packed_im2col_and_stats(
     csum = sum(
         corr48[:, 5 * d : 5 * d + K0, 5 * d : 5 * d + K0] for d in range(8)
     )  # (B, 10, 10)
-    if t0 < t0_pad:
-        # subtract the fractional window at index t0 (first invalid): it
-        # starts at sample 5*t0 and may still overlap up to 5 real samples;
-        # later invalid windows start at >= n and are all-zero already
-        frac = xpad[:, 5 * t0 : 5 * t0 + K0]  # (B, 10)
-        musum = musum - frac
-        csum = csum - jnp.einsum("bj,bk->bjk", frac, frac)
+    # subtract fractional windows: invalid window w >= t0 contributes iff it
+    # still overlaps real samples (5w < n). Since 5*t0 >= n - 9, at most the
+    # two windows t0 and t0+1 qualify (for n % 5 != 0 BOTH can hold real
+    # samples); anything later starts at >= n and is all-zero.
+    for w in (t0, t0 + 1):
+        if w < t0_pad and 5 * w < n:
+            frac = xpad[:, 5 * w : 5 * w + K0]  # (B, 10)
+            musum = musum - frac
+            csum = csum - jnp.einsum("bj,bk->bjk", frac, frac)
     mu = musum / t0
     corr = csum / t0
     w0f = w0.astype(jnp.float32)

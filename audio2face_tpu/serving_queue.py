@@ -47,6 +47,10 @@ class BatchingServer:
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._closed = False
+        # serializes the closed-check against close()'s sentinel enqueue:
+        # without it a submit could land BEHIND the shutdown sentinel and
+        # its future would never resolve
+        self._lock = threading.Lock()
         self._thread.start()
 
     def submit(
@@ -57,24 +61,28 @@ class BatchingServer:
         sample_rate: int = 16000,
     ) -> Future:
         """Enqueue one clip; returns a Future resolving to (T, V, 3)."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         fut: Future = Future()
-        self._q.put(_Request(
+        req = _Request(
             np.asarray(audio, np.float32),
             np.asarray(one_hot, np.float32),
             np.asarray(template, np.float32),
             int(sample_rate),
             fut,
-        ))
+        )
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._q.put(req)
         return fut
 
     def close(self) -> None:
         """Drain outstanding requests and stop the dispatcher."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._q.put(None)
-            self._thread.join()
+        self._thread.join()
 
     # ------------------------------------------------------------------
 
@@ -85,7 +93,7 @@ class BatchingServer:
         while not stop:
             first = self._q.get()
             if first is None:
-                return
+                break
             group = [first]
             deadline = time.monotonic() + self.max_wait
             # same-rate requests batch together; a rate change flushes
@@ -104,6 +112,23 @@ class BatchingServer:
                     self._q.put(nxt)  # re-enqueue; next group picks it up
                     break
                 group.append(nxt)
+            self._dispatch(group)
+        # drain requests that slipped behind the shutdown sentinel (e.g. a
+        # rate-change requeue) — close() promises every future resolves
+        leftovers: list[_Request] = []
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                leftovers.append(r)
+        while leftovers:
+            rate = leftovers[0].sample_rate
+            group = [r for r in leftovers if r.sample_rate == rate][
+                : self.predictor.max_batch
+            ]
+            leftovers = [r for r in leftovers if r not in group]
             self._dispatch(group)
 
     def _dispatch(self, group: list[_Request]) -> None:

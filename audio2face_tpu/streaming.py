@@ -34,26 +34,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio2face_tpu.models.faceformer import (
+    AUDIO_SR,
     FEATURE_DIM,
+    FPS,
     N_HEADS,
     PERIOD,
+    frame_count,
     periodic_positional_encoding,
 )
 from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
 from audio2face_tpu.ops.attention import decode_step_attention
 
-AUDIO_SR = 16000
-FPS = 60
 # frame-exact granularity: 800 samples == 3 frames (800 * 60 / 16000)
 GRAIN = 800
+
+# one frame-count rule for the whole pipeline (faceformer.py:frame_count)
+samples_to_frames = frame_count
 
 
 def _ceil_grain(n: int) -> int:
     return ((n + GRAIN - 1) // GRAIN) * GRAIN
-
-
-def samples_to_frames(n: int) -> int:
-    return n * FPS // AUDIO_SR
 
 
 class StreamingFaceFormerPredictor:
@@ -106,6 +106,7 @@ class StreamingFaceFormerPredictor:
         hd = FEATURE_DIM // N_HEADS
         self._buffer = np.zeros((0,), np.float32)  # unconsumed audio
         self._history = np.zeros((0,), np.float32)  # encoder left context
+        self._finished = False  # set by a last=True push/flush
         self._consumed = 0  # samples already encoded into frames
         self._run_sum = 0.0
         self._run_sqsum = 0.0
@@ -209,6 +210,10 @@ class StreamingFaceFormerPredictor:
         units (possibly empty). ``last=True`` flushes the remainder."""
         if self._style_ctx is None:
             raise RuntimeError("call start_stream(one_hot, template) first")
+        if self._finished:
+            raise RuntimeError(
+                "stream was flushed (last=True); start_stream() a new one"
+            )
         audio = np.asarray(audio, np.float32).reshape(-1)
         self._run_sum += float(audio.sum())
         self._run_sqsum += float(np.square(audio, dtype=np.float64).sum())
@@ -218,9 +223,19 @@ class StreamingFaceFormerPredictor:
         outs = []
         while len(self._buffer) >= self.chunk + self.lookahead:
             outs.append(self._emit(self.chunk))
-        if last and len(self._buffer) >= GRAIN:
-            n = len(self._buffer) // GRAIN * GRAIN
-            outs.append(self._emit(n, final=True))
+        if last:
+            self._finished = True
+        if last and len(self._buffer) > 0:
+            # flush the exact remainder: since consumed samples are always
+            # GRAIN-aligned, frame_count(consumed + n) - frames_emitted ==
+            # frame_count(n), so any tail length yields the offline frame
+            # count (a sub-frame tail of < 267 samples yields 0 frames,
+            # exactly as offline)
+            n = len(self._buffer)
+            if samples_to_frames(n) > 0:
+                outs.append(self._emit(n, final=True))
+            else:
+                self._buffer = self._buffer[:0]
         if not outs:
             return np.zeros((0, self.n_verts // 3, 3), np.float32)
         return np.concatenate(outs)
@@ -249,6 +264,12 @@ class StreamingFaceFormerPredictor:
         n_frames = samples_to_frames(window)
         keep_from = samples_to_frames(left)
         keep_to = keep_from + samples_to_frames(n_chunk)
+        if self._t0 + (keep_to - keep_from) > self.t_max:
+            raise RuntimeError(
+                f"stream exceeds max_seconds capacity ({self.t_max} frames): "
+                f"decoded {self._t0}, next chunk adds {keep_to - keep_from}; "
+                "raise max_seconds or reset()/start_stream() a new stream"
+            )
         ekey = ("enc", window, keep_from, keep_to)
         if ekey not in self._fns:
             self._fns[ekey] = self._encode_fn(window, n_frames, keep_from, keep_to)

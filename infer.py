@@ -125,7 +125,12 @@ def _stream(predictor, audios, one_hot, template, sr, args):
                 n_chunks += 1
                 lat += dt
         outs.append(stream.flush())
-        results.append(np.concatenate([o for o in outs if o.size]))
+        outs = [o for o in outs if o.size]
+        results.append(
+            np.concatenate(outs)
+            if outs
+            else np.zeros((0, predictor.n_verts // 3, 3), np.float32)
+        )
         if n_chunks:
             print(
                 f"clip {clip_i}: {n_chunks} chunks, "

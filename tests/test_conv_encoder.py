@@ -82,3 +82,42 @@ def test_feature_encoder_dispatch_same_tree(setup):
     ref = fe.apply(variables, x)
     err = np.max(np.abs(np.asarray(out16, np.float32) - np.asarray(ref)))
     assert err < 0.05 * np.max(np.abs(np.asarray(ref)))
+
+
+@pytest.mark.parametrize("length", [2504, 2501, 2503])
+def test_fused_stats_non_multiple_of_five(setup, length):
+    """Waveform lengths with n % 5 != 0 leave up to TWO fractional windows
+    overlapping real samples; the packed-stats build must subtract both
+    (regression: only the first was subtracted, skewing mu/corr ~1e-2)."""
+    from audio2face_tpu.ops.conv_encoder import (
+        _im2col10,
+        _packed_im2col_and_stats,
+        _round_up,
+        conv0_groupnorm_stats,
+    )
+
+    cfg, x, fe, variables, kernels, gn = setup
+    xs = x[:, :length]
+    t0 = (length - 10) // 5 + 1
+    t0_pad = _round_up(t0, 128)
+    w0 = kernels[0].reshape(10, 512)
+    mean_ref, rstd_ref = conv0_groupnorm_stats(_im2col10(xs), w0)
+    _, mean, rstd = _packed_im2col_and_stats(xs, w0, t0, t0_pad)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rstd), np.asarray(rstd_ref), rtol=1e-5
+    )
+
+
+def test_feature_encoder_conv_bias_init(setup):
+    """conv_bias=True must declare conv{i}/{kernel,bias} under one scope
+    (regression: two submodules fought over the conv{i} name)."""
+    cfg0, x, *_ = setup
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg0, conv_bias=True)
+    fe = FeatureEncoder(cfg, dtype=None)
+    v = fe.init(jax.random.PRNGKey(0), x[:1, :2000])
+    assert set(v["params"]["conv0"].keys()) == {"kernel", "bias"}
+    out = fe.apply(v, x[:1, :2000])
+    assert np.isfinite(np.asarray(out)).all()

@@ -113,3 +113,37 @@ def test_streaming_latency_bound(setup):
     # pushing less than a chunk more produces nothing yet
     out2 = pred.push(audio[0, n : n + 400])
     assert out2.shape[0] == 0
+
+
+def test_flush_emits_exact_offline_frame_count(setup):
+    """Clips whose length is NOT a multiple of the 800-sample grain must
+    still stream out frame_count(n) frames (regression: the sub-grain tail
+    was silently dropped, losing up to 2 frames)."""
+    variables, audio, one_hot, template, offline = setup
+    n = audio.shape[1] - 480  # 160... not a grain multiple
+    pred = StreamingFaceFormerPredictor(
+        variables, N_VERTS, chunk_seconds=0.8, left_seconds=0.8,
+        lookahead_seconds=0.4,
+    )
+    pred.start_stream(one_hot, template)
+    out1 = pred.push(audio[0, :n])
+    out2 = pred.flush()
+    got = out1.shape[0] + out2.shape[0]
+    assert got == frame_count(n), (got, frame_count(n))
+    # pushing after the flush is an error (the stream is finished)
+    with pytest.raises(RuntimeError, match="flushed"):
+        pred.push(audio[0, :800])
+
+
+def test_cache_capacity_overflow_raises(setup):
+    """Exceeding max_seconds must raise, not silently clamp-corrupt the KV
+    cache."""
+    variables, audio, one_hot, template, offline = setup
+    pred = StreamingFaceFormerPredictor(
+        variables, N_VERTS, chunk_seconds=0.5, left_seconds=0.5,
+        lookahead_seconds=0.0, max_seconds=1.0,
+    )
+    pred.start_stream(one_hot, template)
+    with pytest.raises(RuntimeError, match="max_seconds"):
+        for i in range(0, audio.shape[1], 8000):
+            pred.push(audio[0, i : i + 8000])
