@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics; field-wise eq over arrays is a trap
 class _Request:
     audio: np.ndarray
     one_hot: np.ndarray
@@ -125,10 +125,14 @@ class BatchingServer:
                 leftovers.append(r)
         while leftovers:
             rate = leftovers[0].sample_rate
-            group = [r for r in leftovers if r.sample_rate == rate][
-                : self.predictor.max_batch
-            ]
-            leftovers = [r for r in leftovers if r not in group]
+            group: list[_Request] = []
+            rest: list[_Request] = []
+            for r in leftovers:
+                if r.sample_rate == rate and len(group) < self.predictor.max_batch:
+                    group.append(r)
+                else:
+                    rest.append(r)
+            leftovers = rest
             self._dispatch(group)
 
     def _dispatch(self, group: list[_Request]) -> None:
