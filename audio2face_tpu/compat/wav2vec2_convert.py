@@ -145,9 +145,16 @@ def export_wav2vec2(params: Mapping, num_layers: int = 12) -> dict[str, np.ndarr
     w = _np32(params["pos_conv_embed"]["conv"]["kernel"]).transpose(2, 1, 0)  # (O, I/g, k)
     g = np.sqrt((w**2).sum(axis=(0, 1), keepdims=True))  # (1, 1, k)
     sd["encoder.pos_conv_embed.conv.parametrizations.weight.original0"] = g
-    sd["encoder.pos_conv_embed.conv.parametrizations.weight.original1"] = np.where(
-        g > 0, w, 0.0
-    ).astype(np.float32)
+    # torch weight-norm reconstructs w = g * v/||v||: an all-zero kernel
+    # slice (g == 0) would make v/||v|| a 0/0 NaN, so give those slices a
+    # unit direction — g = 0 still reproduces the zero weights exactly
+    v = w.copy()
+    zero = g[0, 0] == 0
+    if zero.any():
+        v[0, 0, zero] = 1.0
+    sd["encoder.pos_conv_embed.conv.parametrizations.weight.original1"] = (
+        v.astype(np.float32)
+    )
     sd["encoder.pos_conv_embed.conv.bias"] = _np32(params["pos_conv_embed"]["conv"]["bias"])
 
     sd["encoder.layer_norm.weight"] = _np32(params["layer_norm"]["scale"])

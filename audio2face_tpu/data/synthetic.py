@@ -102,8 +102,15 @@ def generate_synthetic_face_obj(path: str, n_verts: int = 5023) -> str:
     plus two poles covers most of the count; the remainder are appended as
     unreferenced vertices at the south pole (valid OBJ — faces only index
     the grid)."""
+    if n_verts < 5:
+        raise ValueError(f"need at least 5 vertices for a closed mesh, got {n_verts}")
     rows = max(int(np.sqrt(max(n_verts - 2, 1))), 2)
     cols = max((n_verts - 2) // rows, 3)
+    # the max(cols, 3) floor can push the grid past n_verts for tiny counts;
+    # shrink rows until every face index exists (faces reference grid+poles)
+    while rows > 1 and rows * cols + 2 > n_verts:
+        rows -= 1
+    assert rows * cols + 2 <= n_verts, (rows, cols, n_verts)
     n_grid = rows * cols
     verts = []
     # head-ish scale in the renderer's camera frame (FLAME is ~0.2 m tall)
@@ -150,6 +157,29 @@ def generate_synthetic_face_obj(path: str, n_verts: int = 5023) -> str:
     return path
 
 
+def generate_demo_animation(
+    template_path: str,
+    out_path: str,
+    *,
+    seconds: float = 2.0,
+    fps: int = FPS,
+) -> str:
+    """Write a gentle jaw-like vertex animation derived from ``template_path``
+    (so frame vertex counts always match the mesh being rendered)."""
+    from audio2face_tpu.utils.facemesh import FaceMesh
+
+    mesh = FaceMesh.load(template_path)
+    n_frames = int(seconds * fps)
+    t = np.arange(n_frames) / fps
+    open_amt = 0.004 * (0.5 - 0.5 * np.cos(2 * np.pi * 2.3 * t))
+    base = mesh.verts.astype(np.float32)
+    lower = base[:, 1] < 0.0  # lower half nods like a jaw
+    anim = np.repeat(base[None], n_frames, axis=0)
+    anim[:, lower, 1] -= open_amt[:, None]
+    np.save(out_path, anim)
+    return out_path
+
+
 def generate_demo_assets(
     assets_dir: str = "assets",
     *,
@@ -173,15 +203,9 @@ def generate_demo_assets(
     if not os.path.exists(paths["template"]):
         generate_synthetic_face_obj(paths["template"], n_verts)
     if not os.path.exists(paths["verts"]):
-        mesh = FaceMesh.load(paths["template"])
-        n_frames = int(seconds * fps)
-        t = np.arange(n_frames) / fps
-        open_amt = 0.004 * (0.5 - 0.5 * np.cos(2 * np.pi * 2.3 * t))
-        base = mesh.verts.astype(np.float32)
-        lower = base[:, 1] < 0.0  # lower half nods like a jaw
-        anim = np.repeat(base[None], n_frames, axis=0)
-        anim[:, lower, 1] -= open_amt[:, None]
-        np.save(paths["verts"], anim)
+        generate_demo_animation(
+            paths["template"], paths["verts"], seconds=seconds, fps=fps
+        )
     if not os.path.exists(paths["audio"]):
         import scipy.io.wavfile as wavfile
 

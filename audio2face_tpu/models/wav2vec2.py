@@ -383,11 +383,24 @@ class Wav2Vec2Encoder(nn.Module):
                     # lengths * output_len overflows int32 for 60 s clips
                     # (960000 * 3600 > 2^31; x64 is disabled so int64 casts
                     # silently stay int32) — reduce the static ratio by its
-                    # gcd first, then split into quotient/remainder pieces
+                    # gcd first, then split into quotient/remainder pieces.
+                    # The remainder product rem * ol < il * ol can STILL
+                    # overflow when the reduced ratio is near-coprime; that
+                    # is a static property, so fail loudly instead of
+                    # silently wrapping (callers then pass output_lengths,
+                    # as FaceFormer always does).
                     import math as _math
 
                     g = _math.gcd(output_len, input_values.shape[1])
                     ol, il = output_len // g, input_values.shape[1] // g
+                    if il * ol >= 2**31:
+                        raise ValueError(
+                            "per-item frame counts cannot be derived in "
+                            f"int32 for output_len={output_len} over "
+                            f"{input_values.shape[1]} samples (reduced "
+                            f"ratio {ol}/{il}); pass output_lengths "
+                            "explicitly"
+                        )
                     quot, rem = lengths // il, lengths % il
                     output_lengths = (quot * ol + (rem * ol) // il).astype(jnp.int32)
                 h = interp_linear_per_item(h, output_len, feat_lengths, output_lengths)

@@ -254,8 +254,12 @@ def faceformer_decode_loop(
         b_block=b_block, chunk=chunk, precision=precision,
     )
 
-    # T-height f32 buffers: cross + out + k/v scratch (+ modest weights)
-    vmem_bytes = 4 * t_pad * bd * 4 + 8 * bd * bd + 4 * 1024 * 1024
+    # T-height f32 buffers (cross + out + k/v scratch + the per-step
+    # (rows_c, BD) attention temporaries) + the f32 weight set (wqkv is
+    # BD x 3BD alone) + fixed headroom
+    vmem_bytes = (
+        6 * t_pad * bd * 4 + 16 * bd * bd * 4 + 8 * 1024 * 1024
+    )
 
     out = pl.pallas_call(
         kernel,

@@ -43,12 +43,18 @@ def _load():
     _lib_tried = True
     # The .so is never committed (it is host-specific); build from the
     # checked-in source on first use, and rebuild whenever the source is
-    # newer than the binary.
-    fresh = (
-        os.path.exists(_LIB_PATH)
-        and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+    # newer than the binary. A packaged install may ship the .so without
+    # csrc/ (load it as-is), and a failed rebuild falls back to the stale
+    # binary rather than abandoning a working library.
+    lib_exists = os.path.exists(_LIB_PATH)
+    src_exists = os.path.exists(_SRC)
+    fresh = lib_exists and (
+        not src_exists
+        or os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
     )
     path = _LIB_PATH if fresh else _build()
+    if path is None and lib_exists:
+        path = _LIB_PATH  # stale but functional beats the numpy fallback
     if path is None:
         return None
     try:

@@ -31,13 +31,21 @@ def main() -> None:
     parser.add_argument("--fps", type=int, default=60)
     args = parser.parse_args()
 
-    if not (os.path.exists(args.template) and os.path.exists(args.verts)):
+    if os.path.exists(args.template) and not os.path.exists(args.verts):
+        # derive the demo animation from THE GIVEN template so frame vertex
+        # counts always match the mesh being rendered
+        from audio2face_tpu.data.synthetic import generate_demo_animation
+
+        print(f"no vertex animation at {args.verts}; deriving one from {args.template}")
+        os.makedirs(os.path.dirname(os.path.abspath(args.verts)), exist_ok=True)
+        generate_demo_animation(args.template, args.verts)
+    elif not os.path.exists(args.template):
         from audio2face_tpu.data.synthetic import generate_demo_assets
 
         assets_dir = os.path.dirname(args.template) or "assets"
         print(f"default assets missing; generating a synthetic demo into {assets_dir}/")
         paths = generate_demo_assets(assets_dir)
-        args.template = args.template if os.path.exists(args.template) else paths["template"]
+        args.template = paths["template"]
         args.verts = args.verts if os.path.exists(args.verts) else paths["verts"]
 
     texture_mesh = FaceMesh.load(args.template)

@@ -178,31 +178,39 @@ def test_biwi_trim_branch(flax_params):
     assert out_capped.shape[1] == 20
 
 
-def test_fps_fallback_no_int32_overflow(flax_params):
-    """The output_lengths fallback must be exact for 60 s clips where
-    lengths * output_len overflows int32 (960000 * 3600 > 2^31)."""
-    model = Wav2Vec2Encoder(Wav2Vec2Config())
-    n_samples, out_len = 960_000, 3600
-    lengths = np.array([960_000, 800_000, 123_457], np.int32)
-    want = [int(l) * out_len // n_samples for l in lengths]
-
-    # evaluate just the traced length computation (running the full encoder
-    # at 60 s on CPU is minutes; the arithmetic is what regressed)
-    import math
-
-    def f(lengths):
-        g = math.gcd(out_len, n_samples)
-        ol, il = out_len // g, n_samples // g
-        quot, rem = lengths // il, lengths % il
-        return (quot * ol + (rem * ol) // il).astype(jnp.int32)
-
-    got = np.asarray(jax.jit(f)(jnp.asarray(lengths)))
-    np.testing.assert_array_equal(got, want)
-    # and the naive int32 form really does overflow (guards the regression)
-    naive = np.asarray(
-        jax.jit(lambda l: l * out_len // n_samples)(jnp.asarray(lengths))
+def test_fps_fallback_no_int32_overflow():
+    """The output_lengths fallback must be exact for clips where
+    lengths * output_len overflows int32, and must REFUSE configurations
+    whose reduced ratio still overflows (near-coprime lengths) instead of
+    silently wrapping. Exercises the REAL encoder path on a tiny model
+    (the arithmetic lives in Wav2Vec2Encoder.__call__)."""
+    cfg = Wav2Vec2Config(
+        conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+        hidden_size=32, num_layers=1, num_heads=4, intermediate_size=64,
+        pos_conv_kernel=16, pos_conv_groups=4,
     )
-    assert not np.array_equal(naive, want), "int32 overflow expectation changed"
+    enc = Wav2Vec2Encoder(cfg)
+    # the real 60 s regime: 960000 * 3600 > 2^31, gcd 1200 reduces to 3/800
+    n_samples, out_len = 960_000, 3600
+    lengths = jnp.asarray([960_000, 123_457], jnp.int32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, n_samples)).astype(np.float32) * 0.1
+    )
+    params = enc.init(jax.random.PRNGKey(0), x[:1, :4000], output_len=15)["params"]
+    out = enc.apply(
+        {"params": params}, x, output_len=out_len, lengths=lengths
+    )
+    assert out.shape == (2, out_len, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # near-coprime reduced ratio (consecutive ints): the int32-exact
+    # decomposition is impossible — the encoder must raise at trace time,
+    # not silently wrap
+    with pytest.raises(ValueError, match="output_lengths"):
+        enc.apply(
+            {"params": params}, x[:, :119_999], output_len=119_998,
+            lengths=lengths,
+        )
 
 
 def test_layerdrop_and_attention_dropout_paths():
