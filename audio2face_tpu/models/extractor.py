@@ -100,10 +100,14 @@ class Wav2VecExtractor:
             params = self.model.init(jax.random.PRNGKey(seed), dummy)["params"]
         self.params = params
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, params=None) -> jnp.ndarray:
+        # callers tracing this under jit should pass ``params`` as a traced
+        # argument: a closed-over parameter tree is baked into the compiled
+        # program as ~380 MB of literals (remote-compile links reject it)
+        params = self.params if params is None else params
         x = dsp.resample(x, self.ori_sample_rate, self.sample_rate)
         x = dsp.wav2vec2_zero_mean_unit_var(x)
-        hidden = self.model.apply({"params": self.params}, x)  # (B, T, 768)
+        hidden = self.model.apply({"params": params}, x)  # (B, T, 768)
         feats = jnp.swapaxes(hidden, 1, 2)  # (B, 768, T) = the torch transpose
         if feats.shape[1] != self.out_dim:
             feats = dsp.interp_bilinear(

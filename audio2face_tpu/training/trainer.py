@@ -107,6 +107,11 @@ class Audio2FaceExperiment:
             hop_length=config.hop_length,
             n_fft=1024,
         )
+        # parameterized extractors (wav2vec) thread their params through the
+        # jitted steps as a traced argument — closing over the tree would
+        # bake ~380 MB of literals into every compiled step (remote-compile
+        # links reject the payload outright)
+        self._fe_params = getattr(self.feature_extractor, "params", None)
         # config.loss override: the reference stores the raw string as the
         # loss callable (lightning_model.py:97, a latent crash); here known
         # names map to the actual loss classes
@@ -175,9 +180,11 @@ class Audio2FaceExperiment:
         lengths = batch.get("audio_lengths")
         return batch["audio"], batch["one_hot"], verts, template, lengths
 
-    def _features(self, x):
+    def _features(self, x, fe_params=None):
         if self.feature_extractor is None:
             return x
+        if fe_params is not None:
+            return self.feature_extractor(x, params=fe_params)
         return self.feature_extractor(x)
 
     def _model_kwargs(self, batch: dict, train: bool) -> dict:
@@ -186,9 +193,9 @@ class Audio2FaceExperiment:
             kwargs["lengths"] = batch["audio_lengths"]
         return kwargs
 
-    def _apply(self, params, batch_stats, batch, train: bool, rngs=None):
+    def _apply(self, params, batch_stats, batch, train: bool, rngs=None, fe_params=None):
         x, one_hot, verts, template, lengths = self._unpack(batch)
-        feats = self._features(x)
+        feats = self._features(x, fe_params)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -223,7 +230,7 @@ class Audio2FaceExperiment:
         if key not in self._jit_cache:
 
             @partial(jax.jit, donate_argnums=(0,))
-            def _step(state, batch, rng):
+            def _step(state, batch, rng, fe_params):
                 # per-step streams derive from state.step INSIDE the jit:
                 # host-side fold_in/split per step costs a full dispatch
                 # round-trip each (measured 1.3 ms of device work drowned in
@@ -237,7 +244,8 @@ class Audio2FaceExperiment:
 
                 def loss_fn(params):
                     pred, fmask, new_stats, verts = self._apply(
-                        params, state.batch_stats, batch, train=True, rngs=rngs
+                        params, state.batch_stats, batch, train=True,
+                        rngs=rngs, fe_params=fe_params,
                     )
                     loss = self._compute_loss(pred, verts, fmask)
                     err = mse_error(pred, verts, self.config.vertex_count // 3, fmask)
@@ -257,16 +265,17 @@ class Audio2FaceExperiment:
 
             self._jit_cache[key] = _step
         batch = shard_batch(self.mesh, batch)
-        return self._jit_cache[key](state, batch, rng)
+        return self._jit_cache[key](state, batch, rng, self._fe_params)
 
     def eval_step(self, state: TrainState, batch: dict) -> dict:
         key = ("eval", self._batch_signature(batch))
         if key not in self._jit_cache:
 
             @jax.jit
-            def _step(state, batch):
+            def _step(state, batch, fe_params):
                 pred, fmask, _, verts = self._apply(
-                    state.params, state.batch_stats, batch, train=False
+                    state.params, state.batch_stats, batch, train=False,
+                    fe_params=fe_params,
                 )
                 loss = self._compute_loss(pred, verts, fmask)
                 err = mse_error(pred, verts, self.config.vertex_count // 3, fmask)
@@ -274,7 +283,7 @@ class Audio2FaceExperiment:
 
             self._jit_cache[key] = _step
         batch = shard_batch(self.mesh, batch)
-        return self._jit_cache[key](state, batch)
+        return self._jit_cache[key](state, batch, self._fe_params)
 
     def predict(self, state: TrainState, batch: dict):
         """Predicted vertices in data units (/100, lightning_model.py:215-225)
@@ -283,16 +292,17 @@ class Audio2FaceExperiment:
         if key not in self._jit_cache:
 
             @jax.jit
-            def _step(state, batch):
+            def _step(state, batch, fe_params):
                 pred, fmask, _, verts = self._apply(
-                    state.params, state.batch_stats, batch, train=False
+                    state.params, state.batch_stats, batch, train=False,
+                    fe_params=fe_params,
                 )
                 err = mse_error(pred, verts, self.config.vertex_count // 3, fmask)
                 return pred / 100.0, err
 
             self._jit_cache[key] = _step
         batch = shard_batch(self.mesh, batch)
-        return self._jit_cache[key](state, batch)
+        return self._jit_cache[key](state, batch, self._fe_params)
 
     def _batch_signature(self, batch: dict):
         return tuple(sorted((k, np.shape(v)) for k, v in batch.items()))
