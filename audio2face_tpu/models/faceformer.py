@@ -71,6 +71,28 @@ def frame_count(n_samples: int) -> int:
     return n_samples * FPS // AUDIO_SR
 
 
+def select_decode_impl(
+    decode_impl: Optional[str], *, train: bool, backend: str, batch: int, n_frames: int
+) -> str:
+    """Pick the decode implementation for a (batch, frames) trace.
+
+    Training always differentiates through the lax.scan path. Inference
+    auto-selection (decode_impl=None) uses the fused Pallas mega-kernel on
+    TPU only when its VMEM-resident KV/cross/out buffers actually fit the
+    Mosaic window (ops/decode_kernel.fits_vmem) — longer clips (batch-8
+    past ~2.3 min, single-stream past ~9 min) fall back to the scan, which
+    is correct at any length. An EXPLICIT decode_impl="fused" is honored
+    as requested; the kernel raises a capacity ValueError at trace time
+    rather than dying in a Mosaic OOM."""
+    if train:
+        return "scan"
+    if decode_impl is None:
+        from audio2face_tpu.ops.decode_kernel import fits_vmem
+
+        return "fused" if (backend == "tpu" and fits_vmem(batch, n_frames)) else "scan"
+    return decode_impl
+
+
 class FaceFormer(nn.Module):
     n_verts: int
     n_onehot: int
@@ -185,13 +207,10 @@ class FaceFormer(nn.Module):
         hd = d // N_HEADS
         cache_shape = (bsz, N_HEADS, n_frames, hd)
 
-        decode_impl = self.decode_impl
-        if decode_impl is None:
-            decode_impl = (
-                "fused"
-                if (not train and jax.default_backend() == "tpu")
-                else "scan"
-            )
+        decode_impl = select_decode_impl(
+            self.decode_impl, train=train, backend=jax.default_backend(),
+            batch=bsz, n_frames=n_frames,
+        )
         if decode_impl == "fused" and not train:
             from audio2face_tpu.ops.decode_kernel import faceformer_decode_loop
 

@@ -189,6 +189,39 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Mosaic VMEM window ceiling requested by faceformer_decode_loop (v5e VMEM
+# is 128 MB; leave headroom for Mosaic's own buffers)
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _block_shape(b: int, b_block: int | None) -> tuple[int, int]:
+    """(b_block, bd) exactly as faceformer_decode_loop would choose them."""
+    if b_block is None:
+        b_block = min(_round_up(b, 2), DEFAULT_B_BLOCK)
+    return b_block, b_block * D
+
+
+def vmem_bytes_needed(b: int, t: int, b_block: int | None = None) -> int:
+    """Trace-time VMEM budget of the fused kernel for (batch, frames).
+
+    Mirrors the allocation in faceformer_decode_loop: the T-height f32
+    buffers (cross + out + k/v scratch + per-step attention temporaries),
+    the blocked f32 weight set, and fixed headroom."""
+    _, bd = _block_shape(b, b_block)
+    t_pad = _round_up(t, 8)
+    return 6 * t_pad * bd * 4 + 16 * bd * bd * 4 + 8 * 1024 * 1024
+
+
+def fits_vmem(b: int, t: int, b_block: int | None = None) -> bool:
+    """True iff the fused mega-kernel's buffers fit the VMEM window for a
+    (batch, frames) decode. Callers (FaceFormer.__call__ auto-selection,
+    serving) MUST fall back to the lax.scan path when this is False: the
+    scan is correct at any T, just slower per step. Without this check a
+    long clip (batch-8 past ~2.3 min, single-stream past ~9 min) dies in
+    a Mosaic OOM instead of decoding."""
+    return vmem_bytes_needed(b, t, b_block) <= VMEM_LIMIT_BYTES
+
+
 def faceformer_decode_loop(
     cross: jnp.ndarray,  # (B, T, D) precomputed cross-attention term
     style: jnp.ndarray,  # (B, D)
@@ -204,9 +237,16 @@ def faceformer_decode_loop(
     """Run the fused decode loop; returns hidden states (B, T, D)."""
     b, t, d = cross.shape
     assert d == D
-    if b_block is None:
-        b_block = min(_round_up(b, 2), DEFAULT_B_BLOCK)
-    bd = b_block * D
+    b_block, bd = _block_shape(b, b_block)
+    need = vmem_bytes_needed(b, t, b_block)
+    if need > VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f"fused decode kernel needs ~{need / 2**20:.0f} MB of VMEM for "
+            f"batch={b} (block {b_block}), T={t} — over the "
+            f"{VMEM_LIMIT_BYTES / 2**20:.0f} MB window. Use the lax.scan "
+            "decode path (decode_impl='scan') for clips this long; "
+            "FaceFormer's auto-selection (decode_impl=None) does so."
+        )
     b_pad = _round_up(b, b_block)
     t_pad = _round_up(t, 8)
     n_blocks = b_pad // b_block
@@ -254,13 +294,6 @@ def faceformer_decode_loop(
         b_block=b_block, chunk=chunk, precision=precision,
     )
 
-    # T-height f32 buffers (cross + out + k/v scratch + the per-step
-    # (rows_c, BD) attention temporaries) + the f32 weight set (wqkv is
-    # BD x 3BD alone) + fixed headroom
-    vmem_bytes = (
-        6 * t_pad * bd * 4 + 16 * bd * bd * 4 + 8 * 1024 * 1024
-    )
-
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -277,7 +310,7 @@ def faceformer_decode_loop(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=min(int(vmem_bytes), 100 * 1024 * 1024),
+            vmem_limit_bytes=min(int(need), VMEM_LIMIT_BYTES),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * t_pad * bd * 2 + t * (bd * bd * 10),

@@ -80,8 +80,18 @@ class FaceFormerPredictor:
 
             n_data = mesh.shape["data"]
             if self.max_batch % n_data != 0:
-                # each chip gets max_batch/n_data items; keep it whole
-                self.max_batch = _round_up(self.max_batch, n_data)
+                # each chip gets max_batch/n_data items; keep it whole by
+                # rounding DOWN (never exceed the caller's per-call cap),
+                # clamped to one item per chip
+                import warnings
+
+                new = max(n_data, (self.max_batch // n_data) * n_data)
+                warnings.warn(
+                    f"max_batch={self.max_batch} is not divisible by the "
+                    f"mesh data axis ({n_data}); using max_batch={new}",
+                    stacklevel=2,
+                )
+                self.max_batch = new
             variables = replicate(mesh, variables)
         self.variables = variables
         self._fns: dict = {}
@@ -197,7 +207,9 @@ class FaceFormerPredictor:
             if self.mesh is not None:
                 b_pad = _round_up(b, self.mesh.shape["data"])
             audio_pad = np.zeros((b_pad, samples), np.float32)
-            # dummy rows (mesh padding) get a short valid length -> 0 frames
+            # dummy rows (mesh padding) get a short valid length — 800
+            # samples decode 3 frames each, whose outputs are discarded
+            # below (mask-based n_valid only covers real rows)
             lengths = np.full((b_pad,), min(800, samples), np.int32)
             oh = np.zeros((b_pad, one_hot.shape[1]), one_hot.dtype)
             tmpl = np.zeros((b_pad,) + template.shape[1:], np.float32)

@@ -1,27 +1,34 @@
 """Streaming (chunked, bounded-lookahead) FaceFormer inference.
 
 The reference has no streaming story at all: it decodes a whole (<=10 s)
-clip offline (src/demo.py:46-83, src/model/faceformer.py:137-188). This
-module adds true incremental decoding — audio goes in chunk by chunk,
-vertex frames come out with bounded latency — built from two halves:
+clip offline inside its predict pass (src/model/faceformer.py:137-188,
+driven one clip at a time from train.py). This module adds true
+incremental decoding — audio goes in chunk by chunk, vertex frames come
+out with bounded latency — built from two halves:
 
 - **encoder (approximate, bounded context).** wav2vec2 is bidirectional, so
   exact streaming is impossible; each chunk is encoded inside a sliding
   [left_context | chunk | lookahead] window and only the chunk's center
   frames are kept. Audio normalization (the Wav2Vec2Processor zero-mean/
   unit-var the reference applies per whole clip, faceformer.py:142-144)
-  uses *running* statistics over all audio seen so far — causally
-  consistent, and exactly equal to the offline statistics once the stream
-  ends. With a single window covering the whole clip the encoder output is
-  bit-identical to the offline path.
+  uses statistics over exactly the audio up to the chunk's window end
+  (chunk_end + lookahead) — causally consistent, DETERMINISTIC in
+  (audio, config) regardless of push granularity, and exactly equal to
+  the offline statistics at the final chunk. With a single window
+  covering a grain-aligned clip the encoder output is bit-identical to
+  the offline path.
 - **decoder (exact).** The autoregressive decoder is causal, so streaming
   is exact: the KV cache, the feedback embedding, and the absolute frame
   counter carry across chunks. Chunk boundaries land on whole frames by
   construction (window sizes are multiples of 800 samples = 3 frames at
   60 fps / 16 kHz).
 
-All shapes are static per (window, chunk) bucket — each configuration
-compiles at most two programs (warm-up window + steady-state window).
+All shapes are static per (window, chunk) bucket: steady state compiles
+one encoder + one decoder program; the final flush adds at most one more
+of each (tail windows are zero-padded to the next 800-sample grain so
+flush widths are bucketed, not per-clip — a Mosaic encoder compile costs
+minutes per distinct shape on a tunneled TPU). Clips that end exactly on
+the grain flush with zero padding, i.e. bit-exactly.
 """
 
 from __future__ import annotations
@@ -108,9 +115,12 @@ class StreamingFaceFormerPredictor:
         self._history = np.zeros((0,), np.float32)  # encoder left context
         self._finished = False  # set by a last=True push/flush
         self._consumed = 0  # samples already encoded into frames
-        self._run_sum = 0.0
-        self._run_sqsum = 0.0
-        self._run_n = 0
+        # normalization base statistics over consumed samples [0, consumed);
+        # each emission extends them with its own window tail so the stats
+        # are a pure function of (audio, config), never of push granularity
+        self._base_sum = 0.0
+        self._base_sqsum = 0.0
+        self._base_n = 0
         self._t0 = 0  # absolute frame counter
         self._emb = None  # decoder feedback carry (set on first chunk)
         self._k_cache = jnp.zeros((1, N_HEADS, self.t_max, hd), jnp.float32)
@@ -215,9 +225,6 @@ class StreamingFaceFormerPredictor:
                 "stream was flushed (last=True); start_stream() a new one"
             )
         audio = np.asarray(audio, np.float32).reshape(-1)
-        self._run_sum += float(audio.sum())
-        self._run_sqsum += float(np.square(audio, dtype=np.float64).sum())
-        self._run_n += audio.size
         self._buffer = np.concatenate([self._buffer, audio])
 
         outs = []
@@ -252,13 +259,25 @@ class StreamingFaceFormerPredictor:
         # would be slightly closer to offline but costs one encoder
         # compilation per distinct width — minutes each on TPU.
         left = self.left
-        window = left + n_chunk + lookahead
+        # the final tail is zero-padded to the next grain so flush window
+        # widths come from a bounded bucket set, not one per clip length
+        # (kept frames stay the TRUE frame count; grain-aligned tails get
+        # zero padding, i.e. stay bit-exact)
+        n_pad = _ceil_grain(n_chunk) if final else n_chunk
+        window = left + n_pad + lookahead
 
-        # running (causally consistent) normalization statistics
-        mean = self._run_sum / max(self._run_n, 1)
-        var = max(self._run_sqsum / max(self._run_n, 1) - mean * mean, 0.0)
+        # normalization statistics over audio [0, chunk_end + lookahead):
+        # deterministic in (audio, config) — independent of push granularity
+        win = self._buffer[: n_chunk + lookahead]
+        tot_n = self._base_n + win.size
+        tot_sum = self._base_sum + float(win.sum(dtype=np.float64))
+        tot_sq = self._base_sqsum + float(np.square(win, dtype=np.float64).sum())
+        mean = tot_sum / max(tot_n, 1)
+        var = max(tot_sq / max(tot_n, 1) - mean * mean, 0.0)
         hist = self._history_tail(left)
-        raw = np.concatenate([hist, self._buffer[: n_chunk + lookahead]])
+        raw = np.concatenate(
+            [hist, win, np.zeros(n_pad - n_chunk, np.float32)]
+        )
         norm = (raw - mean) / np.sqrt(var + 1e-7)
 
         n_frames = samples_to_frames(window)
@@ -295,10 +314,14 @@ class StreamingFaceFormerPredictor:
         verts = (verts + template) / self.unit_scale
         out = np.asarray(verts, np.float32).reshape(n_new, -1, 3)
 
+        consumed_now = self._buffer[:n_chunk]
+        self._base_n += consumed_now.size
+        self._base_sum += float(consumed_now.sum(dtype=np.float64))
+        self._base_sqsum += float(np.square(consumed_now, dtype=np.float64).sum())
         self._consumed += n_chunk
         if self.left:
             self._history = np.concatenate(
-                [self._history, self._buffer[:n_chunk]]
+                [self._history, consumed_now]
             )[-self.left :]
         self._buffer = self._buffer[n_chunk:]
         return out

