@@ -7,6 +7,22 @@ predictor's ``max_batch``, waiting at most ``max_wait_ms`` for stragglers)
 and issues one padded, bucketed ``FaceFormerPredictor`` call per group —
 so chip utilization tracks offered load instead of per-caller batch size.
 
+Production hardening (round 3):
+
+- **bounded queue + backpressure**: ``max_queue`` caps in-flight depth;
+  at the cap ``submit`` either blocks the caller (default) or raises
+  ``queue.Full`` (``block=False``) — offered load can no longer grow the
+  queue without bound.
+- **cancellation**: callers may ``future.cancel()`` any time before
+  dispatch; cancelled requests are skipped (and never run) — the standard
+  ``concurrent.futures`` contract via ``set_running_or_notify_cancel``.
+- **per-request timeout**: ``submit(..., timeout=s)`` bounds time in
+  queue; requests still undispatched at their deadline resolve with
+  ``TimeoutError`` instead of waiting forever behind a slow batch.
+- **failure isolation**: a predictor exception resolves (only) that
+  group's futures with the exception; the dispatcher thread survives and
+  keeps serving subsequent requests.
+
 Pure host-side threading: the TPU sees only the predictor's jitted calls.
 """
 
@@ -14,6 +30,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass
 from typing import Optional
@@ -28,6 +45,7 @@ class _Request:
     template: np.ndarray
     sample_rate: int
     future: Future
+    deadline: Optional[float] = None  # monotonic seconds; None = no timeout
 
 
 class BatchingServer:
@@ -35,16 +53,28 @@ class BatchingServer:
 
     Usage::
 
-        server = BatchingServer(predictor)
-        fut = server.submit(audio, one_hot, template)   # thread-safe
+        server = BatchingServer(predictor, max_queue=64)
+        fut = server.submit(audio, one_hot, template, timeout=30.0)
         vertices = fut.result()
         server.close()
     """
 
-    def __init__(self, predictor, *, max_wait_ms: float = 10.0):
+    def __init__(
+        self,
+        predictor,
+        *,
+        max_wait_ms: float = 10.0,
+        max_queue: Optional[int] = None,
+    ):
         self.predictor = predictor
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        # queue-depth accounting lives in a semaphore rather than the
+        # Queue's maxsize so close()'s sentinel can never block on a full
+        # queue; one release per request the dispatcher takes off the queue
+        self._slots = (
+            threading.BoundedSemaphore(max_queue) if max_queue else None
+        )
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._closed = False
         # serializes the closed-check against close()'s sentinel enqueue:
@@ -59,21 +89,39 @@ class BatchingServer:
         one_hot: np.ndarray,
         template: np.ndarray,
         sample_rate: int = 16000,
+        *,
+        timeout: Optional[float] = None,
+        block: bool = True,
     ) -> Future:
-        """Enqueue one clip; returns a Future resolving to (T, V, 3)."""
-        fut: Future = Future()
-        req = _Request(
-            np.asarray(audio, np.float32),
-            np.asarray(one_hot, np.float32),
-            np.asarray(template, np.float32),
-            int(sample_rate),
-            fut,
-        )
-        with self._lock:
-            if self._closed:
-                raise RuntimeError("server is closed")
-            self._q.put(req)
-        return fut
+        """Enqueue one clip; returns a Future resolving to (T, V, 3).
+
+        timeout: max seconds the request may wait in queue before dispatch;
+            past it the future resolves with ``TimeoutError``. (It does not
+            preempt a dispatch already in flight.)
+        block: behavior at ``max_queue`` depth — True applies backpressure
+            (the caller blocks for a free slot), False raises ``queue.Full``.
+        """
+        if self._slots is not None and not self._slots.acquire(blocking=block):
+            raise queue.Full("serving queue is at max_queue depth")
+        try:
+            fut: Future = Future()
+            req = _Request(
+                np.asarray(audio, np.float32),
+                np.asarray(one_hot, np.float32),
+                np.asarray(template, np.float32),
+                int(sample_rate),
+                fut,
+                time.monotonic() + timeout if timeout is not None else None,
+            )
+            with self._lock:
+                if self._closed:
+                    raise RuntimeError("server is closed")
+                self._q.put(req)
+            return fut
+        except BaseException:
+            if self._slots is not None:
+                self._slots.release()
+            raise
 
     def close(self) -> None:
         """Drain outstanding requests and stop the dispatcher."""
@@ -86,12 +134,17 @@ class BatchingServer:
 
     # ------------------------------------------------------------------
 
-    def _run(self) -> None:
-        import time
+    def _take(self, timeout: Optional[float] = None) -> Optional[_Request]:
+        """Pop one item, releasing its depth slot (sentinel has none)."""
+        item = self._q.get() if timeout is None else self._q.get(timeout=timeout)
+        if item is not None and self._slots is not None:
+            self._slots.release()
+        return item
 
+    def _run(self) -> None:
         stop = False
         while not stop:
-            first = self._q.get()
+            first = self._take()
             if first is None:
                 break
             group = [first]
@@ -102,14 +155,14 @@ class BatchingServer:
                 if timeout <= 0:
                     break
                 try:
-                    nxt = self._q.get(timeout=timeout)
+                    nxt = self._take(timeout=timeout)
                 except queue.Empty:
                     break
                 if nxt is None:
                     stop = True
                     break
                 if nxt.sample_rate != first.sample_rate:
-                    self._q.put(nxt)  # re-enqueue; next group picks it up
+                    self._requeue(nxt)  # next group picks it up
                     break
                 group.append(nxt)
             self._dispatch(group)
@@ -118,7 +171,7 @@ class BatchingServer:
         leftovers: list[_Request] = []
         while True:
             try:
-                r = self._q.get_nowait()
+                r = self._take(timeout=0.001)
             except queue.Empty:
                 break
             if r is not None:
@@ -135,17 +188,47 @@ class BatchingServer:
             leftovers = rest
             self._dispatch(group)
 
+    def _requeue(self, r: _Request) -> None:
+        """Put a popped request back (rate-change flush); re-takes a slot
+        if one is free, else rides slotless — depth accounting may briefly
+        undercount by the one straggler, never overcount."""
+        if self._slots is not None:
+            self._slots.acquire(blocking=False)
+        self._q.put(r)
+
     def _dispatch(self, group: list[_Request]) -> None:
+        # filter cancelled / queue-expired requests: cancellation uses the
+        # standard Future contract (set_running_or_notify_cancel marks the
+        # survivors running, so they can no longer be cancelled mid-batch)
+        now = time.monotonic()
+        live: list[_Request] = []
+        for r in group:
+            if r.deadline is not None and now > r.deadline:
+                if not r.future.cancelled() and not r.future.done():
+                    r.future.set_exception(
+                        TimeoutError(
+                            "request timed out in serving queue before dispatch"
+                        )
+                    )
+                continue
+            if not r.future.set_running_or_notify_cancel():
+                continue  # cancelled by the caller; never runs
+            live.append(r)
+        if not live:
+            return
         try:
             results = self.predictor(
-                [r.audio for r in group],
-                np.stack([r.one_hot for r in group]),
-                np.stack([r.template for r in group]),
-                sample_rate=group[0].sample_rate,
+                [r.audio for r in live],
+                np.stack([r.one_hot for r in live]),
+                np.stack([r.template for r in live]),
+                sample_rate=live[0].sample_rate,
             )
-            for r, v in zip(group, results):
+            for r, v in zip(live, results):
                 r.future.set_result(v)
-        except Exception as e:  # pragma: no cover - surfaced via futures
-            for r in group:
+        except Exception as e:
+            # the whole group shares one padded predictor call, so one bad
+            # request fails its groupmates' futures too — but never the
+            # dispatcher: the loop continues serving later submissions
+            for r in live:
                 if not r.future.done():
                     r.future.set_exception(e)

@@ -1,3 +1,6 @@
+import threading
+import time
+
 import numpy as np
 import pytest
 
@@ -190,3 +193,127 @@ def test_batching_server_close_drains():
     server.close()
     with pytest.raises(RuntimeError):
         server.submit(np.zeros(10, np.float32), np.zeros(12), np.zeros((2, 3)))
+
+
+class _SlowFake:
+    """Predictor stub whose calls block until released — lets tests park the
+    dispatcher deterministically."""
+
+    max_batch = 4
+
+    def __init__(self):
+        self.gate = threading.Event()
+        self.calls = []
+
+    def __call__(self, audios, one_hot, template, sample_rate=16000):
+        self.calls.append([float(a[0]) for a in audios])
+        self.gate.wait(timeout=30)
+        if any(a[0] == -1.0 for a in audios):  # poison marker
+            raise RuntimeError("bad batch")
+        return [np.full((3, 2, 3), float(a[0])) for a in audios]
+
+
+def _req(server, tag, **kw):
+    return server.submit(
+        np.full(100, float(tag), np.float32), np.zeros(12), np.zeros((2, 3)), **kw
+    )
+
+
+def test_queue_cancellation_skips_request():
+    """future.cancel() before dispatch means the request never runs."""
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    fake = _SlowFake()
+    server = BatchingServer(fake, max_wait_ms=1.0)
+    blocker = _req(server, 1)  # parks the dispatcher inside fake()
+    time.sleep(0.1)
+    victim = _req(server, 2)
+    assert victim.cancel()  # still queued -> cancellable
+    fake.gate.set()
+    assert blocker.result(timeout=10)[0, 0, 0] == 1.0
+    server.close()
+    assert victim.cancelled()
+    assert [1.0] in fake.calls and not any(2.0 in c for c in fake.calls)
+
+
+def test_queue_timeout_resolves_with_timeouterror():
+    """A request whose queue deadline passes resolves with TimeoutError
+    instead of waiting forever behind a slow batch."""
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    fake = _SlowFake()
+    server = BatchingServer(fake, max_wait_ms=1.0)
+    blocker = _req(server, 1)
+    time.sleep(0.1)
+    stale = _req(server, 3, timeout=0.05)
+    time.sleep(0.2)  # deadline passes while the dispatcher is busy
+    fake.gate.set()
+    assert blocker.result(timeout=10)[0, 0, 0] == 1.0
+    with pytest.raises(TimeoutError):
+        stale.result(timeout=10)
+    server.close()
+    assert not any(3.0 in c for c in fake.calls)
+
+
+def test_queue_backpressure_bounded_depth():
+    """max_queue bounds in-flight depth: non-blocking submits at the cap
+    raise queue.Full; blocking submits proceed once the dispatcher drains."""
+    import queue as queue_mod
+
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    fake = _SlowFake()
+    server = BatchingServer(fake, max_wait_ms=1.0, max_queue=2)
+    blocker = _req(server, 1)
+    time.sleep(0.1)  # dispatcher took it off the queue -> slot freed
+    a = _req(server, 2, block=False)
+    b = _req(server, 4, block=False)
+    with pytest.raises(queue_mod.Full):
+        _req(server, 5, block=False)
+    # a blocking submit applies backpressure, then lands once a slot frees
+    landed = []
+
+    def blocked_submit():
+        landed.append(_req(server, 6))
+
+    t = threading.Thread(target=blocked_submit)
+    t.start()
+    time.sleep(0.1)
+    assert not landed  # still backpressured
+    fake.gate.set()  # dispatcher drains; slots free up
+    t.join(timeout=10)
+    assert landed
+    for f, want in [(blocker, 1.0), (a, 2.0), (b, 4.0), (landed[0], 6.0)]:
+        assert f.result(timeout=10)[0, 0, 0] == want
+    server.close()
+
+
+def test_queue_failing_batch_does_not_wedge_dispatcher():
+    """A predictor exception resolves that group's futures; later requests
+    are still served — under concurrent submitters."""
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    fake = _SlowFake()
+    fake.gate.set()  # run at full speed
+    server = BatchingServer(fake, max_wait_ms=1.0)
+    bad = _req(server, -1)  # poison: its batch raises
+    with pytest.raises(RuntimeError, match="bad batch"):
+        bad.result(timeout=10)
+
+    futs = {}
+    lock = threading.Lock()
+
+    def submit_many(base):
+        for i in range(5):
+            f = _req(server, base + i)
+            with lock:
+                futs[base + i] = f
+
+    threads = [threading.Thread(target=submit_many, args=(10 * k,)) for k in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for tag, f in futs.items():
+        assert f.result(timeout=30)[0, 0, 0] == float(tag)
+    server.close()
