@@ -21,9 +21,21 @@ __all__ = ["ExpConfig", "get_model", "get_extractor", "get_loss_fn", "__version_
 
 
 def __getattr__(name):
-    # lazy: streaming pulls in the full model stack
+    # lazy: streaming/serving pull in the full model stack
     if name == "StreamingFaceFormerPredictor":
         from audio2face_tpu.streaming import StreamingFaceFormerPredictor
 
         return StreamingFaceFormerPredictor
+    if name in ("MultiStreamFaceFormerPredictor", "StreamingServer"):
+        from audio2face_tpu import multistream
+
+        return getattr(multistream, name)
+    if name == "FaceFormerPredictor":
+        from audio2face_tpu.serving import FaceFormerPredictor
+
+        return FaceFormerPredictor
+    if name == "BatchingServer":
+        from audio2face_tpu.serving_queue import BatchingServer
+
+        return BatchingServer
     raise AttributeError(name)

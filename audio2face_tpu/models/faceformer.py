@@ -126,9 +126,17 @@ class FaceFormer(nn.Module):
         *,
         train: bool = False,
         use_pallas: Optional[bool] = None,
+        return_hidden: bool = False,
     ):
         """Returns (B, T, V, 3) vertices with T = frame_count(S), plus a
-        (B, T) frame validity mask when ``lengths`` is given."""
+        (B, T) frame validity mask when ``lengths`` is given.
+
+        ``return_hidden=True`` returns the decoder hidden states (B, T, 64)
+        instead of vertices: the vertex head is a single (64, 3V) matmul
+        whose OUTPUT is the memory monster — (B, T, V, 3) f32 is ~17 GB for
+        8x 3-minute clips, past HBM — so long-clip serving applies the head
+        per time-chunk outside the model (serving.py) while everything
+        upstream stays one compiled program."""
         d = FEATURE_DIM
         bsz, n_samples = audio.shape
         n_frames = frame_count(n_samples)
@@ -231,6 +239,8 @@ class FaceFormer(nn.Module):
                 period=PERIOD,
                 fast_math=self.dtype is not None,
             )
+            if return_hidden:
+                return self._hidden_out(hs, n_frames, frame_lengths, lengths)
             return self._vertex_head(hs, vmr_k, vmr_b, template, bsz, n_frames, frame_lengths, lengths)
 
         dropout_rng = self.make_rng("dropout") if train else None
@@ -289,7 +299,15 @@ class FaceFormer(nn.Module):
             step_rngs = jnp.zeros((n_frames, 2), jnp.uint32)
         (_, _, _), hs = jax.lax.scan(step, init, (ts, step_rngs))
         hs = jnp.swapaxes(hs, 0, 1)  # (B, T, 64)
+        if return_hidden:
+            return self._hidden_out(hs, n_frames, frame_lengths, lengths)
         return self._vertex_head(hs, vmr_k, vmr_b, template, bsz, n_frames, frame_lengths, lengths)
+
+    def _hidden_out(self, hs, n_frames, frame_lengths, lengths):
+        if lengths is not None:
+            frame_mask = (jnp.arange(n_frames)[None, :] < frame_lengths[:, None]).astype(jnp.float32)
+            return hs, frame_mask
+        return hs
 
     def _vertex_head(self, hs, vmr_k, vmr_b, template, bsz, n_frames, frame_lengths, lengths):
         """Vertex head as one big MXU matmul after the decode loop."""

@@ -843,7 +843,9 @@ def decode_step_attention(
 
     q: (B, H, D) — the query at position ``step``.
     k_cache/v_cache: (B, H, Tmax, D), valid on [0, step].
-    step: scalar int32 (same position for the whole batch).
+    step: scalar int32 (same position for the whole batch), or a (B,)
+        vector of PER-ITEM positions (multi-stream serving: concurrent
+        streams sit at different absolute frames in their own caches).
 
     Implements exactly the attention the reference's O(T^2)-recompute loop
     (src/model/faceformer.py:154-185) performs for the newest position —
@@ -863,6 +865,9 @@ def decode_step_attention(
     )
     s = s * sm_scale
     j = jnp.arange(t_max)[None, None, :]
+    step = jnp.asarray(step)
+    if step.ndim == 1:  # per-item positions -> broadcast over (B, H, Tmax)
+        step = step[:, None, None]
     if alibi_period is not None:
         slopes = jnp.asarray(alibi_slopes(hh))
         dist = jnp.floor_divide(step - j, alibi_period).astype(jnp.float32)

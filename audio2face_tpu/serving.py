@@ -123,12 +123,15 @@ class FaceFormerPredictor:
             scale = self.unit_scale
 
             def fn(variables, audio, one_hot, template, lengths):
-                # x100 training-unit convention in, /100 out — matches
-                # trainer.predict (lightning_model.py:145-148, 215-225)
-                verts, mask = self.model.apply(
-                    variables, audio, one_hot, template * scale, lengths=lengths
+                # returns decoder HIDDEN states (B, T, 64) + frame mask; the
+                # vertex head runs per time-chunk in __call__ — its (B, T,
+                # V, 3) f32 output is the one tensor that outgrows HBM on
+                # long clips (~17 GB for 8x 3-minute clips)
+                hs, mask = self.model.apply(
+                    variables, audio, one_hot, template * scale,
+                    lengths=lengths, return_hidden=True,
                 )
-                return verts / scale, mask
+                return hs, mask
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -160,6 +163,52 @@ class FaceFormerPredictor:
                 )
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
+
+    # device-memory budget for one (B, chunk, V, 3) f32 vertex-head output;
+    # chunking keeps serving O(1) in clip length (the full tensor is ~17 GB
+    # for 8x 3-minute clips — past HBM)
+    _VERTEX_CHUNK_BYTES = 512 * 1024 * 1024
+
+    def _vertex_fn(self, batch: int, width: int):
+        key = ("vh", batch, width)
+        if key not in self._fns:
+            from audio2face_tpu.models.layers import dot_precision
+
+            scale = self.unit_scale
+            prec = dot_precision(self.model.dtype)
+
+            def fn(variables, hs, template):
+                # exactly FaceFormer._vertex_head on a time slice, with the
+                # predictor's x100-in / /100-out unit convention
+                p = variables["params"]
+                v = (
+                    jnp.matmul(hs.reshape(-1, 64), p["vertice_map_r_kernel"], precision=prec)
+                    + p["vertice_map_r_bias"]
+                ).reshape(batch, width, -1)
+                v = v.astype(jnp.float32) + template.reshape(batch, 1, -1) * scale
+                return (v / scale).reshape(batch, width, -1, 3)
+
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def _emit_vertices(self, hs, tmpl, idx, n_valid, results):
+        """Apply the vertex head per time-chunk, fetching each chunk to its
+        clip's output buffer — device memory and D2H stay bounded no matter
+        the clip length (the final window is realigned, not re-compiled)."""
+        b_pad, t, _ = hs.shape
+        for j, i in enumerate(idx):
+            results[i] = np.empty((int(n_valid[j]), self.n_verts // 3, 3), np.float32)
+        t_need = int(n_valid.max()) if len(n_valid) else 0
+        width = min(t, max(1, self._VERTEX_CHUNK_BYTES // (b_pad * self.n_verts * 4)))
+        fn = self._vertex_fn(b_pad, width)
+        for lo in range(0, t_need, width):
+            start = min(lo, t - width)  # realign the tail window
+            chunk = np.asarray(fn(self.variables, hs[:, start : start + width], tmpl), np.float32)
+            off = lo - start
+            for j, i in enumerate(idx):
+                m = min(int(n_valid[j]), lo + width - off) - lo
+                if m > 0:
+                    results[i][lo : lo + m] = chunk[j, off : off + m]
 
     def _put(self, x):
         if self.mesh is None:
@@ -219,17 +268,16 @@ class FaceFormerPredictor:
             oh[:b] = one_hot[idx]
             tmpl[:b] = template[idx].astype(np.float32)
             fn = self._get_fn(b_pad, samples)
-            verts, mask = fn(
+            tmpl_dev = self._put(jnp.asarray(tmpl))
+            hs, mask = fn(
                 self.variables,
                 self._put(jnp.asarray(audio_pad)),
                 self._put(jnp.asarray(oh)),
-                self._put(jnp.asarray(tmpl)),
+                tmpl_dev,
                 self._put(jnp.asarray(lengths)),
             )
-            verts = np.asarray(verts, np.float32)
             n_valid = np.asarray(mask).sum(axis=1).astype(int)
-            for j, i in enumerate(idx):
-                results[i] = verts[j, : n_valid[j]]
+            self._emit_vertices(hs, tmpl_dev, idx, n_valid, results)
         return results  # type: ignore[return-value]
 
     def realtime_factor(self, seconds: float = 60.0, batch: Optional[int] = None) -> float:
