@@ -103,7 +103,30 @@ def generate(path: str) -> None:
 
 
 def crosscheck_real_torchaudio() -> None:  # pragma: no cover
+    """Pin every torchaudio-derived oracle against the REAL op (run on the
+    first machine that has the torchaudio wheel — docs/TORCHAUDIO_CHECK.md
+    is the one-command runbook). Covers:
+
+    - MFCC mirror (this module) vs torchaudio.transforms.MFCC — validates
+      the committed mfcc_goldens.npz provenance;
+    - the resample oracle (tests/test_dsp.torch_sinc_resample) AND the JAX
+      ops/dsp.resample vs torchaudio.functional.resample — the wav2vec
+      extractor's 22 kHz -> 16 kHz path (reference extractor.py:63-96);
+    - the JAX mel helpers (data/utils.py) vs
+      torchaudio.transforms.MelSpectrogram in both conventions the
+      reference inspects (dataset/utils.py:8-45: slaney-norm/HTK and the
+      MFCC-default unnormalized HTK).
+    """
     import torchaudio
+
+    failures = []
+
+    def report(name, ref, ours, tol):
+        dev = float(np.abs(np.asarray(ref) - np.asarray(ours)).max())
+        status = "OK" if dev < tol else "FAIL"
+        print(f"{status}  {name}: max dev {dev:.3e} (tol {tol:.0e})")
+        if dev >= tol:
+            failures.append(name)
 
     x = torch.as_tensor(golden_inputs(), dtype=torch.float32)
     for name, cfg in GOLDEN_CONFIGS.items():
@@ -114,9 +137,46 @@ def crosscheck_real_torchaudio() -> None:  # pragma: no cover
                 "win_length": cfg["win_length"],
             },
         )
-        ref = tfm(x).numpy()
-        ours = mfcc_torch(x.numpy(), **cfg)
-        print(name, "max dev vs real torchaudio:", np.abs(ref - ours).max())
+        report(f"mfcc[{name}] mirror", tfm(x).numpy(),
+               mfcc_torch(x.numpy(), **cfg), 1e-2)
+
+    # resample: transcription oracle and the shipped JAX op vs the real op
+    from tests.test_dsp import torch_sinc_resample
+
+    wav = golden_inputs().astype(np.float32)
+    real = torchaudio.functional.resample(
+        torch.as_tensor(wav, dtype=torch.float64), 22000, 16000
+    ).numpy()
+    report("resample 22k->16k transcription",
+           real, torch_sinc_resample(wav, 22000, 16000), 1e-6)
+    import jax.numpy as jnp
+
+    from audio2face_tpu.ops import dsp
+
+    report("resample 22k->16k ops/dsp.resample (f32)",
+           real, np.asarray(dsp.resample(jnp.asarray(wav), 22000, 16000)), 1e-4)
+
+    # melspec in both reference conventions (dataset/utils.py:8-45)
+    from audio2face_tpu.data.utils import melspec_htk, melspec_htk_slaney
+
+    mel_slaney = torchaudio.transforms.MelSpectrogram(
+        sample_rate=22000, n_fft=1024, win_length=352, hop_length=176,
+        center=True, pad=0, power=2.0, norm="slaney", n_mels=32,
+        mel_scale="htk",
+    )(x).numpy()
+    report("melspec htk/slaney (data/utils vs torchaudio)",
+           mel_slaney, melspec_htk_slaney(wav), 1e-4)
+    mel_htk = torchaudio.transforms.MelSpectrogram(
+        sample_rate=22000, n_fft=1024, win_length=352, hop_length=176,
+        center=True, pad=0, power=2.0, norm=None, n_mels=32,
+        mel_scale="htk",
+    )(x).numpy()
+    report("melspec htk/no-norm (data/utils vs torchaudio)",
+           mel_htk, melspec_htk(wav), 1e-3)
+
+    if failures:
+        raise SystemExit(f"cross-check FAILED: {failures}")
+    print("all torchaudio cross-checks passed")
 
 
 if __name__ == "__main__":  # pragma: no cover
