@@ -123,15 +123,17 @@ def _packed_im2col_and_stats(
     w0: jnp.ndarray,  # (10, C) f32
     t0: int,
     t0_pad: int,
+    feat_lengths: Optional[jnp.ndarray] = None,  # (B,) valid windows
 ):
     """Build the 8-frame-packed bf16 im2col and the exact group-norm stats
     WITHOUT any narrow-lane intermediate.
 
     XLA tiles every HBM array to 128 lanes, so a (B, T0, 10) f32 im2col is
     physically 12.8x its logical size — the naive build + stats einsum cost
-    ~6 ms at 60 s x batch-8. Here the only intermediate is (B, G, 48) f32
-    (G = T0/8): row g holds samples [40g, 40g+48), i.e. the union of the 8
-    overlapping windows of frame group g.
+    ~6 ms at 60 s x batch-8 (and ~4 GB of HBM at 3 minutes, enough to OOM
+    the chip next to the encoder's own buffers). Here the only intermediate
+    is (B, G, 48) f32 (G = T0/8): row g holds samples [40g, 40g+48), i.e.
+    the union of the 8 overlapping windows of frame group g.
 
     - packing: window j' of group g occupies lanes [5j', 5j'+10) of the row,
       so the (48 -> 128) 0/1 selection matrix M with
@@ -139,9 +141,12 @@ def _packed_im2col_and_stats(
     - statistics: mu_j = sum_{j'} rowmean[5j'+j], and the (10, 10) window
       correlation C_jk = sum_{j'} R[5j'+j, 5j'+k] where R is the (48, 48)
       row self-correlation — one MXU contraction over G instead of a
-      128-lane-padded einsum over T0. One fractional window (the first
-      invalid index t0, which still overlaps up to 5 real samples) is
-      subtracted exactly.
+      128-lane-padded einsum over T0. Boundary windows are handled exactly:
+      without ``feat_lengths``, the at-most-two fractional windows past t0
+      are subtracted; with ``feat_lengths`` (per-item masked statistics,
+      MaskedGroupNorm semantics), whole groups are masked with a (B, G)
+      0/1 matrix and each item's partial group adds its < 8 valid windows
+      via seven (B, 10) dynamic-slice gathers.
     """
     b, n = x.shape
     g_rows = t0_pad // 8
@@ -161,26 +166,51 @@ def _packed_im2col_and_stats(
     ).astype(jnp.bfloat16)  # (B, G, 128)
 
     # ---- statistics (f32, exact) ------------------------------------
-    rowsum = jnp.sum(rows48, axis=1)  # (B, 48)
+    if feat_lengths is None:
+        rows_m = rows48
+        rowsum = jnp.sum(rows48, axis=1)  # (B, 48)
+    else:
+        gp = feat_lengths // 8  # (B,) full groups
+        rem = feat_lengths % 8  # (B,) windows in the partial group
+        gmask = (
+            jnp.arange(g_rows)[None, :] < gp[:, None]
+        ).astype(jnp.float32)  # (B, G)
+        rows_m = rows48 * gmask[..., None]
+        rowsum = jnp.sum(rows_m, axis=1)
     corr48 = jnp.einsum(
-        "bga,bgh->bah", rows48, rows48,
+        "bga,bgh->bah", rows_m, rows48,  # 0/1 mask: applying it once is exact
         precision=jax.lax.Precision.HIGHEST,
     )  # (B, 48, 48)
     musum = sum(rowsum[:, 5 * d : 5 * d + K0] for d in range(8))  # (B, 10)
     csum = sum(
         corr48[:, 5 * d : 5 * d + K0, 5 * d : 5 * d + K0] for d in range(8)
     )  # (B, 10, 10)
-    # subtract fractional windows: invalid window w >= t0 contributes iff it
-    # still overlaps real samples (5w < n). Since 5*t0 >= n - 9, at most the
-    # two windows t0 and t0+1 qualify (for n % 5 != 0 BOTH can hold real
-    # samples); anything later starts at >= n and is all-zero.
-    for w in (t0, t0 + 1):
-        if w < t0_pad and 5 * w < n:
-            frac = xpad[:, 5 * w : 5 * w + K0]  # (B, 10)
-            musum = musum - frac
-            csum = csum - jnp.einsum("bj,bk->bjk", frac, frac)
-    mu = musum / t0
-    corr = csum / t0
+    if feat_lengths is None:
+        # subtract fractional windows: invalid window w >= t0 contributes
+        # iff it still overlaps real samples (5w < n). Since 5*t0 >= n - 9,
+        # at most the two windows t0 and t0+1 qualify (for n % 5 != 0 BOTH
+        # can hold real samples); anything later starts at >= n and is
+        # all-zero.
+        for w in (t0, t0 + 1):
+            if w < t0_pad and 5 * w < n:
+                frac = xpad[:, 5 * w : 5 * w + K0]  # (B, 10)
+                musum = musum - frac
+                csum = csum - jnp.einsum("bj,bk->bjk", frac, frac)
+        denom = jnp.full((b, 1), float(t0), jnp.float32)
+    else:
+        # add the partial group's valid windows (window 8*gp + j', j' < rem)
+        base = 40 * gp  # (B,) sample offset of each item's partial group
+        take = jax.vmap(
+            lambda xb, i: jax.lax.dynamic_slice(xb, (i,), (K0,))
+        )
+        for jp in range(7):
+            frac = take(xpad, base + 5 * jp)  # (B, 10)
+            frac = frac * (jp < rem).astype(jnp.float32)[:, None]
+            musum = musum + frac
+            csum = csum + jnp.einsum("bj,bk->bjk", frac, frac)
+        denom = jnp.maximum(feat_lengths.astype(jnp.float32), 1.0)[:, None]
+    mu = musum / denom
+    corr = csum / denom[..., None]
     w0f = w0.astype(jnp.float32)
     mean = mu @ w0f  # (B, C)
     ey2 = jnp.einsum(
@@ -294,18 +324,12 @@ def fused_conv_encoder(
     # an XLA pre-pass would round-trip is 1.6 GB (measured at ~17 ms, more
     # than the whole kernel). Each 128-lane row packs 8 frames of 16 taps
     # (10 valid + 6 zeros).
-    if lengths is None:
-        # narrow-lane-free build: the (B, T0, 10) im2col is physically
-        # 12.8x its logical size in XLA's 128-lane tiling — this path
-        # replaces it with a (B, T0/8, 48) intermediate + selection matmul
-        xi16, mean, rstd = _packed_im2col_and_stats(x, w0, t0, t0_pad)
-    else:
-        feat_lengths = (lengths - K0) // S0 + 1
-        xi = _im2col10(x)
-        mean, rstd = conv0_groupnorm_stats(xi, w0, feat_lengths)
-        xi16 = jnp.pad(
-            xi.astype(jnp.bfloat16), ((0, 0), (0, t0_pad - t0), (0, 16 - K0))
-        ).reshape(b, t0_pad // 8, 128)
+    # narrow-lane-free build for BOTH paths: the naive (B, T0, 10) im2col
+    # is physically 12.8x its logical size in XLA's 128-lane tiling — at
+    # 3-minute batch-8 clips that alone OOMs HBM (found by the round-3
+    # long-clip drive). Masked statistics ride the same packed build.
+    feat_lengths = None if lengths is None else (lengths - K0) // S0 + 1
+    xi16, mean, rstd = _packed_im2col_and_stats(x, w0, t0, t0_pad, feat_lengths)
 
     # fold GN into one affine on the conv0 output: y * gs + gb
     gs = (rstd * gn_scale[None, :])[:, None, :]  # (B, 1, C)

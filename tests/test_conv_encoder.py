@@ -121,3 +121,29 @@ def test_feature_encoder_conv_bias_init(setup):
     assert set(v["params"]["conv0"].keys()) == {"kernel", "bias"}
     out = fe.apply(v, x[:1, :2000])
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("lens", [(2504, 1997), (2501, 800), (2501, 2501)])
+def test_fused_stats_masked_lengths(setup, lens):
+    """Per-item masked statistics through the packed narrow-lane-free build
+    == the naive masked oracle (regression: the lengths path materialized
+    the 12.8x-padded (B, T0, 10) im2col, OOMing HBM on 3-minute batch-8
+    clips — found by the round-3 long-clip TPU drive)."""
+    from audio2face_tpu.ops.conv_encoder import (
+        _im2col10,
+        _packed_im2col_and_stats,
+        _round_up,
+        conv0_groupnorm_stats,
+    )
+
+    cfg, x, fe, variables, kernels, gn = setup
+    n = max(lens)
+    xs = x[: len(lens), :n]
+    t0 = (n - 10) // 5 + 1
+    t0_pad = _round_up(t0, 128)
+    w0 = kernels[0].reshape(10, 512)
+    feat = jnp.asarray([(l - 10) // 5 + 1 for l in lens], jnp.int32)
+    mean_ref, rstd_ref = conv0_groupnorm_stats(_im2col10(xs), w0, feat)
+    _, mean, rstd = _packed_im2col_and_stats(xs, w0, t0, t0_pad, feat)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rstd), np.asarray(rstd_ref), rtol=1e-5)
