@@ -233,7 +233,6 @@ class MultiStreamFaceFormerPredictor:
         window = self.left + self.chunk + self.lookahead
         norm = np.zeros((s, window), np.float32)
         n_valid = np.zeros((s,), np.int32)
-        consumed = np.zeros((s,), np.int64)
 
         for i, sl in enumerate(self._slots):
             if self._chunk_ready(sl):
@@ -267,7 +266,6 @@ class MultiStreamFaceFormerPredictor:
             )
             norm[i] = (raw - mean) / np.sqrt(var + 1e-7)
             n_valid[i] = frame_count(n_chunk)
-            consumed[i] = n_chunk
             # advance host-side stream state
             chunk_samples = sl.buffer[:n_chunk]
             sl.base_n += chunk_samples.size
