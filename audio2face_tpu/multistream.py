@@ -24,6 +24,13 @@ live caller. This module batches that state over a fixed pool of
   masked with ``n_valid = frame_count(tail)`` — the pool never compiles a
   tail-specific program; total compiled programs stay at exactly two
   (one encoder, one decoder) per pool configuration.
+- **fleet scaling**: pass a ``(data, 1)`` ``jax.sharding.Mesh`` and the
+  slot axis is sharded over the chips with ``shard_map`` (the counterpart
+  of ``FaceFormerPredictor(mesh=...)`` for live streams): each chip runs
+  the full encoder+decoder (Pallas kernels included) on its
+  ``n_streams / n_data`` local slots, the KV caches live sharded on their
+  home chip, and no collectives are needed — live serving is
+  embarrassingly slot-parallel.
 
 Semantics per stream match the reference's autoregressive loop
 (src/model/faceformer.py:154-185) exactly on the decoder side — the scan
@@ -108,6 +115,7 @@ class MultiStreamFaceFormerPredictor:
         max_seconds: float = 120.0,
         dtype=None,
         unit_scale: float = 100.0,
+        mesh=None,
     ):
         self.params = variables["params"]
         self.n_verts = n_verts
@@ -124,15 +132,42 @@ class MultiStreamFaceFormerPredictor:
         self._encode = None
         self._decode = None
 
+        self.mesh = mesh
+        if mesh is not None:
+            from audio2face_tpu.parallel.mesh import DATA_AXIS, replicate
+
+            n_data = mesh.shape[DATA_AXIS]
+            if self.n_streams % n_data != 0:
+                raise ValueError(
+                    f"n_streams={self.n_streams} must be divisible by the "
+                    f"mesh data axis ({n_data}) so each chip hosts a whole "
+                    "slot slice"
+                )
+            self.params = replicate(mesh, self.params)
+
         s, hd = self.n_streams, FEATURE_DIM // N_HEADS
         self._slots = [_SlotState() for _ in range(s)]
-        self._emb = jnp.zeros((s, FEATURE_DIM), jnp.float32)
+        self._emb = self._put(jnp.zeros((s, FEATURE_DIM), jnp.float32))
         # row t_max is the scratch row idle slots write to (never attended)
-        self._k_cache = jnp.zeros((s, N_HEADS, self.t_max + 1, hd), jnp.float32)
-        self._v_cache = jnp.zeros((s, N_HEADS, self.t_max + 1, hd), jnp.float32)
-        self._styles = jnp.zeros((s, FEATURE_DIM), jnp.float32)
-        self._templates = jnp.zeros((s, n_verts), jnp.float32)
+        self._k_cache = self._put(
+            jnp.zeros((s, N_HEADS, self.t_max + 1, hd), jnp.float32)
+        )
+        self._v_cache = self._put(
+            jnp.zeros((s, N_HEADS, self.t_max + 1, hd), jnp.float32)
+        )
+        self._styles = self._put(jnp.zeros((s, FEATURE_DIM), jnp.float32))
+        self._templates = self._put(jnp.zeros((s, n_verts), jnp.float32))
         self._t0 = np.zeros((s,), np.int64)
+
+    def _put(self, x):
+        """Place a slot-axis array on the mesh (sharded on ``data``)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from audio2face_tpu.parallel.mesh import DATA_AXIS
+
+        return jax.device_put(x, NamedSharding(self.mesh, P(DATA_AXIS)))
 
     # ------------------------------------------------------------------
     # stream lifecycle
@@ -278,11 +313,11 @@ class MultiStreamFaceFormerPredictor:
         if not n_valid.any():
             return
 
-        cross = self._encode_fn()(self.params, jnp.asarray(norm))
-        t0 = jnp.asarray(self._t0, jnp.int32)
+        cross = self._encode_fn()(self.params, self._put(jnp.asarray(norm)))
+        t0 = self._put(jnp.asarray(self._t0, jnp.int32))
         (self._emb, self._k_cache, self._v_cache, verts) = self._decode_fn()(
             self.params, cross, self._styles, self._templates, self._emb,
-            self._k_cache, self._v_cache, t0, jnp.asarray(n_valid),
+            self._k_cache, self._v_cache, t0, self._put(jnp.asarray(n_valid)),
         )
         verts_np = None  # fetched lazily; most steps serve several slots
         for i, sl in enumerate(self._slots):
@@ -307,6 +342,27 @@ class MultiStreamFaceFormerPredictor:
     # jitted halves (compiled once per pool configuration)
     # ------------------------------------------------------------------
 
+    def _fleet(self, fn, *, n_out: int):
+        """With a mesh, ``shard_map`` ``fn`` over the slot axis: arg 0
+        (params) replicates, every other arg and every output shards on
+        ``data``. ``fn`` must derive slot counts from input shapes — under
+        shard_map each chip traces with its LOCAL slice."""
+        if self.mesh is None:
+            return fn
+        import inspect
+
+        from jax.sharding import PartitionSpec as P
+
+        from audio2face_tpu.parallel.mesh import DATA_AXIS, shard_map_data
+
+        n_args = len(inspect.signature(fn).parameters)
+        out = P(DATA_AXIS) if n_out == 1 else tuple(P(DATA_AXIS) for _ in range(n_out))
+        return shard_map_data(
+            self.mesh, fn,
+            in_specs=(P(),) + tuple(P(DATA_AXIS) for _ in range(n_args - 1)),
+            out_specs=out,
+        )
+
     def _encode_fn(self):
         if self._encode is not None:
             return self._encode
@@ -315,7 +371,6 @@ class MultiStreamFaceFormerPredictor:
         keep_from = frame_count(self.left)
         keep_to = keep_from + self.chunk_frames
 
-        @jax.jit
         def run(p, norm_audio):
             hidden = self.encoder.apply(
                 {"params": p["audio_encoder"]}, norm_audio, output_len=n_frames
@@ -329,6 +384,7 @@ class MultiStreamFaceFormerPredictor:
             ) @ p["cross_out_kernel"] + p["cross_out_bias"]
             return cross[:, keep_from:keep_to].astype(jnp.float32)
 
+        run = jax.jit(self._fleet(run, n_out=1))
         self._encode = run
         return run
 
@@ -337,14 +393,15 @@ class MultiStreamFaceFormerPredictor:
             return self._decode
         d = FEATURE_DIM
         hd = d // N_HEADS
-        s = self.n_streams
         n_frames = self.chunk_frames
         t_scratch = self.t_max  # scratch cache row for masked-off steps
         pe = jnp.asarray(periodic_positional_encoding())
         scale = self.unit_scale
 
-        @jax.jit
         def run(p, cross, styles, templates, emb0, k_cache, v_cache, t0, n_valid):
+            # slot count from the input, NOT the pool: under shard_map this
+            # traces with each chip's local slice (n_streams / n_data)
+            s = emb0.shape[0]
             fb_k = p["vertice_map_r_kernel"] @ p["vertice_map_kernel"]
             fb_b = (
                 p["vertice_map_r_bias"] @ p["vertice_map_kernel"]
@@ -393,6 +450,7 @@ class MultiStreamFaceFormerPredictor:
             verts = verts.reshape(s, n_frames, -1) + templates[:, None, :]
             return emb, kc, vc, verts / scale
 
+        run = jax.jit(self._fleet(run, n_out=4))
         self._decode = run
         return run
 

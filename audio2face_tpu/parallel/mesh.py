@@ -74,6 +74,31 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return jax.tree.map(put, batch)
 
 
+def shard_map_data(mesh: Mesh, fn, in_specs, out_specs):
+    """``shard_map`` a batch-parallel fn over the mesh with replication
+    checking off (the kwarg is named ``check_rep`` or ``check_vma``
+    depending on the jax version; Pallas-calling bodies need it off).
+
+    Each device runs the FULL ``fn`` (including Pallas kernels, which
+    GSPMD cannot partition on its own) on its local slice of every
+    ``P(DATA_AXIS)`` input; ``fn`` must therefore derive batch sizes from
+    input shapes, never from closure constants.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.4.35
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    import inspect
+
+    params = inspect.signature(shard_map).parameters
+    kw = (
+        {"check_rep": False} if "check_rep" in params
+        else {"check_vma": False} if "check_vma" in params
+        else {}
+    )
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+
 def wav2vec2_param_spec(path: tuple, leaf) -> P:
     """Tensor-parallel PartitionSpec for a wav2vec2 param by tree path.
 

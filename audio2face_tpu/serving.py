@@ -136,30 +136,15 @@ class FaceFormerPredictor:
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
 
-                try:
-                    from jax import shard_map
-                except ImportError:  # older jax
-                    from jax.experimental.shard_map import shard_map
+                from audio2face_tpu.parallel.mesh import shard_map_data
 
                 # manual SPMD: each chip runs the whole model (Pallas
                 # kernels included) on its local batch slice; no collectives
                 # are needed — serving is embarrassingly data-parallel.
-                # (replication checking is named check_rep/check_vma across
-                # jax versions; disable whichever exists)
-                import inspect
-
-                params = inspect.signature(shard_map).parameters
-                kw = (
-                    {"check_rep": False} if "check_rep" in params
-                    else {"check_vma": False} if "check_vma" in params
-                    else {}
-                )
-                fn = shard_map(
-                    fn,
-                    mesh=self.mesh,
+                fn = shard_map_data(
+                    self.mesh, fn,
                     in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
                     out_specs=(P("data"), P("data")),
-                    **kw,
                 )
             self._fns[key] = jax.jit(fn)
         return self._fns[key]

@@ -196,6 +196,46 @@ def test_single_compiled_program_pair(setup):
     assert enc1 is not None and dec1 is not None
 
 
+def test_fleet_mesh_pool_matches_solo(setup):
+    """A mesh-sharded pool (slot axis over the data axis) reproduces solo
+    streams; the KV caches actually live sharded; an indivisible pool size
+    is rejected."""
+    from audio2face_tpu.parallel.mesh import make_mesh
+
+    variables, one_hot, template = setup
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="divisible"):
+        MultiStreamFaceFormerPredictor(
+            variables, N_VERTS, n_streams=3, mesh=mesh,
+        )
+    pool = MultiStreamFaceFormerPredictor(
+        variables, N_VERTS, n_streams=4, chunk_seconds=CHUNK_S,
+        left_seconds=0.8, lookahead_seconds=0.0, mesh=mesh,
+    )
+    assert not pool._k_cache.sharding.is_fully_replicated
+    rng = np.random.default_rng(17)
+    chunk = int(CHUNK_S * SR)
+    clips = [
+        (rng.normal(size=k * chunk) * 0.1).astype(np.float32) for k in (2, 3, 1)
+    ]
+    solos = [_solo(variables, one_hot[i], template, clips[i]) for i in range(3)]
+    slots = [pool.open_stream(one_hot[i], template) for i in range(3)]
+    got = [[] for _ in range(3)]
+    offs = [0, 0, 0]
+    while any(offs[i] < len(clips[i]) for i in range(3)):
+        for i in range(3):
+            if offs[i] < len(clips[i]):
+                j = min(offs[i] + chunk, len(clips[i]))
+                got[i].append(pool.push(slots[i], clips[i][offs[i]:j],
+                                        last=j == len(clips[i])))
+                offs[i] = j
+    for i in range(3):
+        got[i].append(pool.poll(slots[i]))
+        out = np.concatenate([o for o in got[i] if o.size])
+        np.testing.assert_allclose(out, solos[i], atol=2e-5, rtol=1e-5,
+                                   err_msg=f"fleet stream {i}")
+
+
 def test_streaming_server_concurrent_sessions(setup):
     """Concurrent threaded callers through StreamingServer each reproduce
     their solo stream; pool-full open_session raises; wait=True blocks
