@@ -126,12 +126,17 @@ class ScanLSTM(nn.Module):
         b_hh = self.param("b_hh", torch_lstm_init, (h4,))
 
         prec = dot_precision(self.dtype)
+        cdt = self.dtype or jnp.float32
+        # recurrent weights cast to the compute dtype (the conv layers'
+        # policy): a float32 w_hh would promote the scan carry to float32
+        # mid-loop and break the carry-type invariant under bf16 compute
+        w_hh_c = w_hh.astype(cdt)
         # hoist the input projection out of the scan: one big MXU matmul
-        x_proj = jnp.matmul(x, w_ih, precision=prec) + b_ih + b_hh  # (B, T, 4H)
+        x_proj = (jnp.matmul(x, w_ih, precision=prec) + b_ih + b_hh).astype(cdt)
 
         def step(carry, xt):
             h, c = carry
-            gates = xt + jnp.matmul(h, w_hh, precision=prec)
+            gates = xt + jnp.matmul(h, w_hh_c, precision=prec)
             i, fg, g, o = jnp.split(gates, 4, axis=-1)
             i = jax.nn.sigmoid(i)
             fg = jax.nn.sigmoid(fg)
@@ -141,8 +146,8 @@ class ScanLSTM(nn.Module):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        h0 = jnp.zeros((b, self.hidden_size), x.dtype)
-        c0 = jnp.zeros((b, self.hidden_size), x.dtype)
+        h0 = jnp.zeros((b, self.hidden_size), cdt)
+        c0 = jnp.zeros((b, self.hidden_size), cdt)
         (_, _), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
         return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 

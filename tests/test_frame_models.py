@@ -111,6 +111,33 @@ def test_scan_lstm_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+def test_models_bf16_train_step():
+    """bf16-compute train mode (the '16-mixed' config path) jits for all
+    three frame models — pins the ScanLSTM carry-dtype invariant that only
+    the bf16 path exercises (a float32 recurrent matmul inside the scan
+    promoted the carry and broke lax.scan on the first TPU song2face run)."""
+    rng = np.random.default_rng(11)
+    for model_cls, feat in [(Audio2Mesh, (52, 32)), (Voca, (29, 16)), (Song2Face, (52, 32))]:
+        model = model_cls(n_verts=300, n_onehot=N_ONEHOT, dtype=jnp.bfloat16)
+        x, one_hot, template = _inputs(rng, 2, feat)
+        template = template[:, :100]
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(one_hot),
+            jnp.asarray(template)
+        )
+
+        @jax.jit
+        def step(variables, x, one_hot, template):
+            return model.apply(
+                variables, x, one_hot, template, train=True,
+                mutable=["batch_stats"] if "batch_stats" in variables else [],
+            )
+
+        out, _ = step(variables, jnp.asarray(x), jnp.asarray(one_hot), jnp.asarray(template))
+        assert out.dtype == jnp.float32  # vertex outputs stay f32
+        assert np.isfinite(np.asarray(out)).all()
+
+
 def test_models_jit_and_train_mode():
     """Train-mode forward (batch_stats mutable) runs under jit for all three."""
     rng = np.random.default_rng(4)
