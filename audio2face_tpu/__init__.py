@@ -30,10 +30,10 @@ def __getattr__(name):
         from audio2face_tpu import multistream
 
         return getattr(multistream, name)
-    if name == "FaceFormerPredictor":
-        from audio2face_tpu.serving import FaceFormerPredictor
+    if name in ("FaceFormerPredictor", "FramePredictor"):
+        from audio2face_tpu import serving
 
-        return FaceFormerPredictor
+        return getattr(serving, name)
     if name == "BatchingServer":
         from audio2face_tpu.serving_queue import BatchingServer
 

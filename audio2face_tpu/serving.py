@@ -281,3 +281,250 @@ class FaceFormerPredictor:
         self(audios, one_hot, template)
         wall = time.perf_counter() - tic
         return batch * seconds / wall
+
+
+class FramePredictor:
+    """Batched speech -> per-frame vertex inference for the frame models
+    (audio2mesh / voca / song2face — every registry model except faceformer).
+
+    The reference predicts these only inside the Lightning predict pass, one
+    pre-fragmented dataset sentence at a time (train.py:73-76,
+    lightning_model.py:215-225). This is the raw-audio serving surface:
+
+    - clips are fragmented into the dataset's 0.52 s per-frame windows
+      (semantics of src/dataset/vocaset.py:408-430) ON DEVICE — the host
+      uploads each clip once and a gather materializes the 60-fps windows
+      in-graph, instead of shipping the ~60x-overlapping window tensor
+      through the host link;
+    - MFCC/wav2vec features are extracted in-graph and fused into the model
+      forward (the reference runs torchaudio DSP on the host per item);
+    - shapes stay compiled-program-friendly: audio buckets on a
+      ``bucket_seconds`` grid, frames advance in fixed ``frame_batch``
+      chunks with a traced chunk offset — one program per audio bucket
+      covers any clip length;
+    - unit convention matches ``FaceFormerPredictor``: checkpoints train
+      against x100 vertices (lightning_model.py:145-148), so templates feed
+      ``*100`` and outputs return ``/100``;
+    - optional fleet serving: with ``mesh=`` the clip batch shards over the
+      data axis via ``shard_map`` (BatchNorm runs in eval mode, so rows are
+      independent and no collectives are needed).
+    """
+
+    def __init__(
+        self,
+        config,
+        variables: Optional[dict] = None,
+        *,
+        max_batch: int = 8,
+        frame_batch: int = 128,
+        bucket_seconds: float = 5.0,
+        seed: int = 0,
+        unit_scale: float = 100.0,
+        mesh=None,
+    ):
+        from audio2face_tpu.data.vocaset import FPS, FRAGMENT_SECONDS
+        from audio2face_tpu.registry import get_extractor, get_model
+
+        if config.modelname == "faceformer":
+            raise ValueError("use FaceFormerPredictor for faceformer")
+        self.config = config
+        self.fps = FPS
+        self.sample_rate = config.sample_rate
+        self.n_verts = config.vertex_count
+        self.n_onehot = config.one_hot_size
+        self.max_batch = max_batch
+        self.frame_batch = frame_batch
+        self.unit_scale = float(unit_scale)
+        self.bucket_samples = int(bucket_seconds * config.sample_rate)
+        self.n_pad = int(config.sample_rate * FRAGMENT_SECONDS / 2)
+        self.window = 2 * self.n_pad
+
+        dtype = jnp.bfloat16 if getattr(config, "bf16_compute", True) else None
+        self.model = get_model(config.modelname)(
+            n_verts=config.vertex_count, n_onehot=config.one_hot_size, dtype=dtype
+        )
+        self.extractor = get_extractor(config.feature_extractor)(
+            sample_rate=config.sample_rate,
+            n_feature=config.n_feature,
+            out_dim=config.out_dim,
+            win_length=config.win_length,
+            hop_length=config.hop_length,
+            n_fft=1024,
+        )
+        # parameterized extractors (wav2vec2) thread their params as traced
+        # arguments — closures bake the tree into the compile payload
+        self._fe_params = getattr(self.extractor, "params", None)
+
+        if variables is None:
+            feats = self._features(jnp.zeros((1, self.window), jnp.float32))
+            variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(seed), feats,
+                jnp.zeros((1, self.n_onehot), jnp.float32),
+                jnp.zeros((1, self.n_verts // 3, 3), jnp.float32),
+            )
+        self.mesh = mesh
+        if mesh is not None:
+            from audio2face_tpu.parallel.mesh import replicate
+
+            n_data = mesh.shape["data"]
+            if self.max_batch % n_data != 0:
+                import warnings
+
+                new = max(n_data, (self.max_batch // n_data) * n_data)
+                warnings.warn(
+                    f"max_batch={self.max_batch} is not divisible by the "
+                    f"mesh data axis ({n_data}); using max_batch={new}",
+                    stacklevel=2,
+                )
+                self.max_batch = new
+            variables = replicate(mesh, variables)
+            if self._fe_params is not None:
+                self._fe_params = replicate(mesh, self._fe_params)
+        self.variables = variables
+        self._fns: dict = {}
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, config, **kwargs) -> "FramePredictor":
+        """Load a reference PyTorch/Lightning checkpoint for this model."""
+        from audio2face_tpu.compat.torch_convert import (
+            convert_state_dict,
+            load_torch_checkpoint,
+        )
+
+        variables = jax.tree.map(
+            jnp.asarray, convert_state_dict(config.modelname, load_torch_checkpoint(path))
+        )
+        return cls(config, variables=variables, **kwargs)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, config, **kwargs) -> "FramePredictor":
+        """Load an orbax checkpoint written by the training loop."""
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(path)
+        variables = {"params": jax.tree.map(jnp.asarray, restored["params"])}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = jax.tree.map(
+                jnp.asarray, restored["batch_stats"]
+            )
+        return cls(config, variables=variables, **kwargs)
+
+    def _features(self, x, fe_params=None):
+        if fe_params:
+            return self.extractor(x, params=fe_params)
+        return self.extractor(x)
+
+    def _get_fn(self, batch: int, samples: int):
+        key = (batch, samples)
+        if key not in self._fns:
+            scale = self.unit_scale
+            fb, window, n_pad = self.frame_batch, self.window, self.n_pad
+            sr, fps = self.sample_rate, self.fps
+
+            def fn(variables, fe_params, audio, one_hot, template, frame0):
+                b = audio.shape[0]
+                # device-side fragmenter == data/vocaset.py:batch_audio_fragments
+                # (shift=0): window centers at idx*sr/fps, half-window padding
+                # both sides; out-of-clip frames clamp into the pad (discarded
+                # on the host by each clip's true frame count)
+                padded = jnp.pad(audio, ((0, 0), (n_pad, window)))
+                starts = (frame0 + jnp.arange(fb)) * sr // fps
+                gather = starts[:, None] + jnp.arange(window)[None, :]
+                frags = jnp.take(padded, gather, axis=1, mode="clip")
+                frags = frags.reshape(b * fb, window)
+                feats = self._features(frags, fe_params)
+                oh = jnp.repeat(one_hot, fb, axis=0)
+                tmpl = jnp.repeat(template * scale, fb, axis=0)
+                out = self.model.apply(variables, feats, oh, tmpl, train=False)
+                return out.reshape(b, fb, -1, 3) / scale
+
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from audio2face_tpu.parallel.mesh import shard_map_data
+
+                fn = shard_map_data(
+                    self.mesh, fn,
+                    in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
+                    out_specs=P("data"),
+                )
+            self._fns[key] = jax.jit(fn)
+        return self._fns[key]
+
+    def _put(self, x):
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P("data")))
+
+    def __call__(
+        self,
+        audios: Sequence[np.ndarray],
+        one_hot: np.ndarray,
+        template: np.ndarray,
+        sample_rate: Optional[int] = None,
+    ) -> list[np.ndarray]:
+        """Decode a batch of clips to per-frame vertices.
+
+        audios: list of 1-D float waveforms (any lengths) at ``sample_rate``
+        (default: the config's rate; other rates are resampled); one_hot:
+        (N, one_hot_size); template: (N, V, 3) or (V, 3) shared. Returns
+        per-clip (T_i, V, 3) vertex animations at 60 fps in data units.
+        """
+        n = len(audios)
+        if one_hot.shape[0] != n:
+            raise ValueError(f"one_hot batch {one_hot.shape[0]} != {n} clips")
+        if template.ndim == 2:
+            template = np.broadcast_to(template[None], (n, *template.shape))
+        if sample_rate is not None and sample_rate != self.sample_rate:
+            from audio2face_tpu.ops.dsp import resample
+
+            audios = [
+                np.asarray(
+                    resample(jnp.asarray(a, jnp.float32), sample_rate, self.sample_rate)
+                )
+                for a in audios
+            ]
+
+        results: list[Optional[np.ndarray]] = [None] * n
+        order = sorted(range(n), key=lambda i: len(audios[i]))
+        for lo in range(0, n, self.max_batch):
+            idx = order[lo : lo + self.max_batch]
+            group = [audios[i] for i in idx]
+            max_len = max(len(a) for a in group)
+            samples = _round_up(max(max_len, self.bucket_samples), self.bucket_samples)
+            b = len(group)
+            b_pad = b
+            if self.mesh is not None:
+                b_pad = _round_up(b, self.mesh.shape["data"])
+            audio_pad = np.zeros((b_pad, samples), np.float32)
+            for j, a in enumerate(group):
+                audio_pad[j, : len(a)] = a
+            oh = np.zeros((b_pad, one_hot.shape[1]), np.float32)
+            tmpl = np.zeros((b_pad,) + template.shape[1:], np.float32)
+            oh[:b] = one_hot[idx]
+            tmpl[:b] = template[idx].astype(np.float32)
+            n_frames = [len(a) * self.fps // self.sample_rate for a in group]
+            for j, i in enumerate(idx):
+                results[i] = np.empty(
+                    (n_frames[j], self.n_verts // 3, 3), np.float32
+                )
+            fn = self._get_fn(b_pad, samples)
+            audio_dev = self._put(jnp.asarray(audio_pad))
+            oh_dev = self._put(jnp.asarray(oh))
+            tmpl_dev = self._put(jnp.asarray(tmpl))
+            t_need = max(n_frames) if n_frames else 0
+            for f0 in range(0, t_need, self.frame_batch):
+                chunk = np.asarray(
+                    fn(
+                        self.variables, self._fe_params or {}, audio_dev,
+                        oh_dev, tmpl_dev, jnp.int32(f0),
+                    ),
+                    np.float32,
+                )
+                for j, i in enumerate(idx):
+                    m = min(n_frames[j], f0 + self.frame_batch) - f0
+                    if m > 0:
+                        results[i][f0 : f0 + m] = chunk[j, :m]
+        return results  # type: ignore[return-value]
