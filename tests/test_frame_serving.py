@@ -141,6 +141,35 @@ def test_mesh_sharded_matches_single_device():
         np.testing.assert_allclose(g, w, atol=1e-5)
 
 
+def test_batching_server_composes_with_frame_predictor():
+    """BatchingServer's predictor contract (audios, one_hot, template,
+    sample_rate=) is model-family agnostic: concurrent frame-model
+    requests coalesce into one padded call and match direct prediction."""
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    cfg = _cfg("audio2mesh")
+    pred = FramePredictor(cfg, max_batch=4, frame_batch=16, bucket_seconds=0.5)
+    rng = np.random.default_rng(6)
+    audios = [
+        (rng.normal(size=int(s * SR)) * 0.1).astype(np.float32)
+        for s in (0.3, 0.45)
+    ]
+    one_hot = np.eye(12, dtype=np.float32)[[2, 7]]
+    template = rng.normal(size=(N_VERTS // 3, 3)).astype(np.float32) * 0.01
+    want = pred(audios, one_hot, template)
+
+    server = BatchingServer(pred, max_wait_ms=50.0)
+    try:
+        futs = [
+            server.submit(a, oh, template, sample_rate=SR)
+            for a, oh in zip(audios, one_hot)
+        ]
+        for f, w in zip(futs, want):
+            np.testing.assert_allclose(f.result(timeout=120), w, atol=1e-5)
+    finally:
+        server.close()
+
+
 def test_resampling_and_validation():
     cfg = _cfg("voca")
     pred = FramePredictor(cfg, frame_batch=16, bucket_seconds=0.3)
