@@ -76,6 +76,7 @@ class FrameStreamPool:
         frame_batch: int = 32,
         seed: int = 0,
         unit_scale: float = 100.0,
+        mesh=None,
     ):
         from audio2face_tpu.serving import FramePredictor
 
@@ -84,6 +85,20 @@ class FrameStreamPool:
             config, variables=variables, frame_batch=frame_batch, seed=seed,
             unit_scale=unit_scale,
         )
+        self.mesh = mesh
+        if mesh is not None:
+            from audio2face_tpu.parallel.mesh import DATA_AXIS, replicate
+
+            n_data = mesh.shape[DATA_AXIS]
+            if int(n_streams) % n_data != 0:
+                raise ValueError(
+                    f"n_streams={n_streams} must be divisible by the mesh "
+                    f"data axis ({n_data}) so each chip hosts a whole slot "
+                    "slice"
+                )
+            self._base.variables = replicate(mesh, self._base.variables)
+            if self._base._fe_params is not None:
+                self._base._fe_params = replicate(mesh, self._base._fe_params)
         self.config = config
         self.sr = config.sample_rate
         self.n_verts = config.vertex_count
@@ -249,7 +264,6 @@ class FrameStreamPool:
         sr, scale = self.sr, self.unit_scale
         base = self._base
 
-        @jax.jit
         def fn(variables, fe_params, windows, one_hot, template, f0):
             s = windows.shape[0]
             # per-frame fragment gather, relative to each slot's window
@@ -274,5 +288,20 @@ class FrameStreamPool:
             out = base.model.apply(variables, feats, oh, tmpl, train=False)
             return out.reshape(s, fb, -1, 3) / scale
 
-        self._fn = fn
-        return fn
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from audio2face_tpu.parallel.mesh import DATA_AXIS, shard_map_data
+
+            # weights replicate; every slot-axis array shards on data. The
+            # fn derives its slot count from windows.shape, so under
+            # shard_map each chip traces with its local slice.
+            fn = shard_map_data(
+                self.mesh, fn,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+            )
+
+        self._fn = jax.jit(fn)
+        return self._fn

@@ -500,12 +500,35 @@ class StreamingServer:
 
     ``open_session`` raises when all slots are busy unless ``wait=True``
     (bounded-pool backpressure, like BatchingServer's max_queue).
+
+    The server is pool-agnostic: any object with the shared pool protocol
+    (``n_streams``/``n_verts``/``open_stream``/``close_stream``/``push``/
+    ``poll``) serves — pass ``pool=`` to front a
+    ``frame_stream.FrameStreamPool`` (audio2mesh/voca/song2face live
+    serving) instead of the default FaceFormer pool built from
+    ``variables``/``n_verts``.
     """
 
-    def __init__(self, variables: dict, n_verts: int, **pool_kwargs):
-        self._pool = MultiStreamFaceFormerPredictor(
-            variables, n_verts, **pool_kwargs
-        )
+    def __init__(
+        self,
+        variables: Optional[dict] = None,
+        n_verts: Optional[int] = None,
+        *,
+        pool=None,
+        **pool_kwargs,
+    ):
+        if pool is None:
+            if variables is None or n_verts is None:
+                raise TypeError(
+                    "StreamingServer needs either a prebuilt pool= or "
+                    "variables + n_verts for the FaceFormer pool"
+                )
+            pool = MultiStreamFaceFormerPredictor(
+                variables, n_verts, **pool_kwargs
+            )
+        elif variables is not None or n_verts is not None or pool_kwargs:
+            raise TypeError("pass either pool= or FaceFormer pool arguments, not both")
+        self._pool = pool
         import threading
 
         self._lock = threading.Lock()

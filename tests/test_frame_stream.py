@@ -163,3 +163,83 @@ def test_small_pushes_buffer_until_a_frame_batch_is_ready(stack):
     got = np.concatenate(outs)
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
     pool.close_stream(s)
+
+
+def test_fleet_mesh_pool_matches_solo(stack):
+    """A (2, 1)-mesh pool (slot axis shard_mapped over two chips, weights
+    replicated) reproduces the solo pool / offline prediction; slot counts
+    not divisible by the data axis are rejected."""
+    import jax
+
+    from audio2face_tpu.parallel.mesh import make_mesh
+
+    pred, _ = stack
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="divisible"):
+        FrameStreamPool(
+            pred.config, variables=pred.variables, n_streams=3,
+            frame_batch=8, mesh=mesh,
+        )
+    pool = FrameStreamPool(
+        pred.config, variables=pred.variables, n_streams=4, frame_batch=8,
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(5)
+    clips = _clips(rng, (0.55, 0.4))
+    one_hot = np.eye(12, dtype=np.float32)[[3, 6]]
+    template = rng.normal(size=(N_VERTS // 3, 3)).astype(np.float32) * 0.01
+    want = pred(clips, one_hot, template)
+
+    slots = [pool.open_stream(one_hot[i], template) for i in range(2)]
+    got = [[] for _ in range(2)]
+    for lo in range(0, max(map(len, clips)), 2000):
+        for i in range(2):
+            if lo < len(clips[i]):
+                chunk = clips[i][lo : lo + 2000]
+                got[i].append(pool.push(
+                    slots[i], chunk, last=lo + 2000 >= len(clips[i])
+                ))
+    for i in range(2):
+        got[i].append(pool.poll(slots[i]))
+        res = np.concatenate(got[i])
+        np.testing.assert_allclose(res, want[i], atol=1e-6, rtol=0)
+
+
+def test_streaming_server_fronts_frame_pool(stack):
+    """StreamingServer composes with FrameStreamPool: concurrent live
+    sessions of a frame model share the chip and each matches offline."""
+    from audio2face_tpu.multistream import StreamingServer
+
+    pred, _ = stack
+    pool = FrameStreamPool(
+        pred.config, variables=pred.variables, n_streams=2, frame_batch=8
+    )
+    server = StreamingServer(pool=pool)
+    assert server.n_streams == 2
+    with pytest.raises(TypeError, match="not both"):
+        StreamingServer(pred.variables, pool=pool)
+    with pytest.raises(TypeError, match="pool"):
+        StreamingServer()
+
+    rng = np.random.default_rng(7)
+    clips = _clips(rng, (0.5, 0.7))
+    one_hot = np.eye(12, dtype=np.float32)[[2, 8]]
+    template = rng.normal(size=(N_VERTS // 3, 3)).astype(np.float32) * 0.01
+    want = pred(clips, one_hot, template)
+
+    sessions = [server.open_session(one_hot[i], template) for i in range(2)]
+    got = [[] for _ in range(2)]
+    for lo in range(0, max(map(len, clips)), 1500):
+        for i, sess in enumerate(sessions):
+            if lo < len(clips[i]):
+                got[i].append(sess.push(
+                    clips[i][lo : lo + 1500],
+                    last=lo + 1500 >= len(clips[i]),
+                ))
+    for i, sess in enumerate(sessions):
+        got[i].append(sess.poll())
+        sess.close()
+        res = np.concatenate(got[i])
+        np.testing.assert_allclose(res, want[i], atol=1e-6, rtol=0)
+    # freed slots accept a new session
+    server.open_session(one_hot[0], template).close()
