@@ -34,6 +34,10 @@ def __getattr__(name):
         from audio2face_tpu import serving
 
         return getattr(serving, name)
+    if name == "FrameStreamPool":
+        from audio2face_tpu.frame_stream import FrameStreamPool
+
+        return FrameStreamPool
     if name == "BatchingServer":
         from audio2face_tpu.serving_queue import BatchingServer
 
