@@ -459,6 +459,69 @@ def bench_multistream(n_streams: int = 8, chunk_s: float = 1.0):
     }
 
 
+def bench_frame_stream(n_streams: int = 8, frame_batch: int = 32):
+    """N concurrent LIVE frame-model streams (audio2mesh) on one chip: one
+    batched step advances every stream by frame_batch frames through the
+    fused MFCC+conv forward. Real-time serving of all N streams requires
+    value <= frame_batch/60fps * 1000 ms."""
+    from audio2face_tpu.config import ExpConfig
+    from audio2face_tpu.frame_stream import FrameStreamPool
+
+    cfg = ExpConfig(
+        batch_size=8, modelname="audio2mesh", vertex_count=N_VERTS,
+        one_hot_size=N_ONEHOT, feature_extractor="mfcc", sample_rate=22000,
+        split_frame=True, n_feature=32, out_dim=52, win_length=440,
+        percision="16-mixed", lr=1e-4,
+    )
+    pool = FrameStreamPool(cfg, n_streams=n_streams, frame_batch=frame_batch)
+    rng = np.random.default_rng(0)
+    one_hot = np.eye(N_ONEHOT, dtype=np.float32)
+    template = rng.normal(size=(N_VERTS // 3, 3)).astype(np.float32) * 0.01
+    slots = [
+        pool.open_stream(one_hot[i % N_ONEHOT], template)
+        for i in range(n_streams)
+    ]
+    # warm through the public API (compiles the one program)
+    packet = (rng.normal(size=int(1.5 * 22000)) * 0.1).astype(np.float32)
+    for s in slots:
+        pool.push(s, packet)
+        pool.poll(s)
+
+    # steady-state ON-CHIP time per batched step with staged inputs (the
+    # host-side slot bookkeeping + D2H fetch are not part of the step)
+    fn = pool._get_fn()
+    windows = jnp.asarray(
+        (rng.normal(size=(n_streams, pool.span)) * 0.1).astype(np.float32)
+    )
+    oh = jnp.asarray(pool._one_hot)
+    tmpl = jnp.asarray(pool._template)
+    f0 = jnp.full((n_streams,), 17, jnp.int32)
+    fe = pool._base._fe_params or {}
+    wall = timed(lambda: fn(pool.variables, fe, windows, oh, tmpl, f0), n=30)
+    ms = wall * 1e3
+    frames_per_round = n_streams * frame_batch
+    detail = {
+        "streams": n_streams,
+        "frame_batch": frame_batch,
+        "frames_per_sec_per_chip": round(frames_per_round / wall, 1),
+        "audio_seconds_per_wall_second": round(frames_per_round / FPS / wall, 1),
+        "realtime_margin": round((frame_batch / FPS) / wall, 1),
+        "note": "compute-only; each round also returns ~"
+                f"{frames_per_round * N_VERTS * 4 / 1e6:.0f} MB of vertices "
+                "(dominant on a tunneled TPU's ~20 MB/s D2H link)",
+    }
+    detail.update(perf_detail(
+        xla_flops(fn, pool.variables, fe, windows, oh, tmpl, f0), wall
+    ))
+    return {
+        "metric": f"frame-model live streaming, {n_streams} concurrent "
+                  f"audio2mesh streams, {frame_batch}-frame steps",
+        "value": round(ms, 1), "unit": "ms compute/step-round",
+        "vs_baseline": None,
+        "detail": detail,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -498,6 +561,7 @@ def main():
         ("faceformer_train_batched", bench_faceformer_train_batched),
         ("streaming", bench_streaming),
         ("multistream", bench_multistream),
+        ("frame_stream", bench_frame_stream),
     ]
     for name, fn in suite:
         try:
