@@ -8,6 +8,10 @@ Example:
     python infer.py --audio clip.wav --subject 3 \
         --template assets/FLAME_sample.obj --checkpoint logs/.../checkpoints/epoch=7-step=123 \
         --output out/ --video
+
+Defaults to FaceFormer; pass --config configs/<audio2mesh|voca|song2face>.yaml
+to serve a frame model instead (offline batches or, with --streaming, the
+live FrameStreamPool path).
 """
 
 import argparse
@@ -34,6 +38,9 @@ def main() -> None:
     parser.add_argument("--chunk-seconds", type=float, default=1.0)
     parser.add_argument("--left-seconds", type=float, default=2.0)
     parser.add_argument("--lookahead-seconds", type=float, default=0.5)
+    parser.add_argument("--config", default=None,
+                        help="experiment YAML for a frame model "
+                             "(audio2mesh/voca/song2face); omit for faceformer")
     args = parser.parse_args()
 
     import scipy.io.wavfile as wavfile
@@ -45,14 +52,31 @@ def main() -> None:
     enable_persistent_cache()
 
     mesh = FaceMesh.load(args.template)
-    kwargs = dict(max_batch=args.batch, bf16=not args.f32)
-    if args.torch_checkpoint:
-        predictor = FaceFormerPredictor.from_torch_checkpoint(args.torch_checkpoint, **kwargs)
-    elif args.checkpoint:
-        predictor = FaceFormerPredictor.from_checkpoint(args.checkpoint, **kwargs)
+    if args.config:
+        from audio2face_tpu.config import ExpConfig
+        from audio2face_tpu.serving import FramePredictor
+
+        cfg = ExpConfig.from_yaml(args.config)
+        if cfg.modelname == "faceformer":
+            raise SystemExit("--config is for the frame models; omit it for faceformer")
+        fkw = dict(max_batch=args.batch)
+        if args.torch_checkpoint:
+            predictor = FramePredictor.from_torch_checkpoint(
+                args.torch_checkpoint, cfg, **fkw)
+        elif args.checkpoint:
+            predictor = FramePredictor.from_checkpoint(args.checkpoint, cfg, **fkw)
+        else:
+            print("WARNING: no checkpoint given — using random weights (smoke mode)")
+            predictor = FramePredictor(cfg, **fkw)
     else:
-        print("WARNING: no checkpoint given — using random weights (smoke mode)")
-        predictor = FaceFormerPredictor(**kwargs)
+        kwargs = dict(max_batch=args.batch, bf16=not args.f32)
+        if args.torch_checkpoint:
+            predictor = FaceFormerPredictor.from_torch_checkpoint(args.torch_checkpoint, **kwargs)
+        elif args.checkpoint:
+            predictor = FaceFormerPredictor.from_checkpoint(args.checkpoint, **kwargs)
+        else:
+            print("WARNING: no checkpoint given — using random weights (smoke mode)")
+            predictor = FaceFormerPredictor(**kwargs)
 
     audios, rates = [], set()
     for path in args.audio:
@@ -71,7 +95,9 @@ def main() -> None:
     template = np.asarray(mesh.verts, np.float32)
 
     sr = rates.pop()
-    if args.streaming:
+    if args.streaming and args.config:
+        results = _stream_frames(predictor, audios, one_hot, template, sr)
+    elif args.streaming:
         results = _stream(predictor, audios, one_hot, template, sr, args)
     else:
         results = predictor(audios, one_hot, template, sample_rate=sr)
@@ -89,6 +115,53 @@ def main() -> None:
             images = renderer.render(verts)
             clip_dir = os.path.join(args.output, stem)
             images_to_video(images, clip_dir)
+
+
+def _stream_frames(predictor, audios, one_hot, template, sr):
+    """Live frame-model path: feed clips in 100 ms packets through a
+    FrameStreamPool slot each, reporting per-packet compute latency."""
+    import time
+
+    import jax.numpy as jnp
+
+    from audio2face_tpu.frame_stream import FrameStreamPool
+    from audio2face_tpu.ops.dsp import resample
+
+    pool = FrameStreamPool(
+        predictor.config, variables=predictor.variables,
+        n_streams=min(len(audios), 8),
+    )
+    results = []
+    model_sr = predictor.config.sample_rate
+    feed = int(0.1 * model_sr)
+    for clip_i, audio in enumerate(audios):
+        if sr != model_sr:
+            audio = np.asarray(resample(jnp.asarray(audio)[None], sr, model_sr)[0])
+        slot = pool.open_stream(one_hot[clip_i], template)
+        outs, n_pk, lat = [], 0, 0.0
+        for off in range(0, len(audio), feed):
+            tic = time.perf_counter()
+            got = pool.push(slot, audio[off : off + feed],
+                            last=off + feed >= len(audio))
+            lat += time.perf_counter() - tic
+            n_pk += 1
+            if got.size:
+                outs.append(got)
+        tail = pool.poll(slot)
+        if tail.size:
+            outs.append(tail)
+        pool.close_stream(slot)
+        results.append(
+            np.concatenate(outs)
+            if outs
+            else np.zeros((0, predictor.n_verts // 3, 3), np.float32)
+        )
+        if n_pk:
+            print(
+                f"clip {clip_i}: {len(results[-1])} frames live, "
+                f"{lat / n_pk * 1e3:.1f} ms compute/100 ms packet"
+            )
+    return results
 
 
 def _stream(predictor, audios, one_hot, template, sr, args):

@@ -83,3 +83,29 @@ def test_train_runs_from_fresh_dir(tmp_path):
     assert runs, "no run dir written"
     pred = np.load(runs[0] / "pred_verts.npy")
     assert pred.shape[1:] == (523, 3)
+
+
+def test_infer_frame_model_smoke(tmp_path):
+    """`python infer.py --config <frame model>` serves a frame model from a
+    wav + template, offline and --streaming (FrameStreamPool), writing
+    per-clip vertex animations."""
+    from audio2face_tpu.data.synthetic import generate_demo_assets
+
+    paths = generate_demo_assets(str(tmp_path / "assets"), n_verts=523, seconds=0.4)
+    cfg = tmp_path / "a2m.yaml"
+    cfg.write_text(
+        "batch_size: 4\nmodelname: audio2mesh\nvertex_count: 1569\n"
+        "one_hot_size: 12\nsplit_frame: True\npercision: '32'\nlr: 1e-3\n"
+        "feature_extractor: mfcc\nsample_rate: 22000\nn_feature: 32\n"
+        "out_dim: 52\nwin_length: 440\n"
+    )
+    for extra in ([], ["--streaming"]):
+        out_dir = tmp_path / ("out_stream" if extra else "out")
+        proc = _run(
+            [os.path.join(REPO, "infer.py"), "--audio", paths["audio"],
+             "--template", paths["template"], "--config", str(cfg),
+             "--output", str(out_dir), *extra],
+            cwd=str(tmp_path),
+        )
+        verts = np.load(out_dir / "sample_audio_verts.npy")
+        assert verts.shape == (24, 523, 3), (extra, verts.shape, proc.stdout)

@@ -243,3 +243,50 @@ def test_streaming_server_fronts_frame_pool(stack):
         np.testing.assert_allclose(res, want[i], atol=1e-6, rtol=0)
     # freed slots accept a new session
     server.open_session(one_hot[0], template).close()
+
+
+def test_streaming_server_concurrent_frame_sessions(stack):
+    """Concurrent threaded callers through StreamingServer(pool=FrameStreamPool)
+    each reproduce the offline prediction (different packet sizes per
+    caller exercise the shared-step routing under the server lock)."""
+    import threading
+
+    from audio2face_tpu.multistream import StreamingServer
+
+    pred, _ = stack
+    rng = np.random.default_rng(11)
+    clips = _clips(rng, (0.8, 0.5, 0.65))
+    one_hot = np.eye(12, dtype=np.float32)[[1, 4, 10]]
+    template = rng.normal(size=(N_VERTS // 3, 3)).astype(np.float32) * 0.01
+    want = pred(clips, one_hot, template)
+
+    server = StreamingServer(pool=FrameStreamPool(
+        pred.config, variables=pred.variables, n_streams=3, frame_batch=8
+    ))
+    outs = [None] * 3
+    errs = []
+
+    def run(i):
+        try:
+            sess = server.open_session(one_hot[i], template)
+            got = []
+            step = 1000 + 700 * i
+            for off in range(0, len(clips[i]), step):
+                got.append(sess.push(clips[i][off : off + step],
+                                     last=off + step >= len(clips[i])))
+            got.append(sess.poll())
+            outs[i] = np.concatenate([g for g in got if g.size])
+            sess.close()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    for i in range(3):
+        assert outs[i].shape == want[i].shape
+        np.testing.assert_allclose(outs[i], want[i], atol=1e-6, rtol=0,
+                                   err_msg=f"session {i}")
