@@ -250,7 +250,8 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, kv_lengths=None, *, train: bool = False, use_pallas=None):
+    def __call__(self, x, kv_lengths=None, *, train: bool = False, use_pallas=None,
+                 time_axis: Optional[str] = None):
         cfg = self.config
         d = cfg.hidden_size
         nh = cfg.num_heads
@@ -266,8 +267,18 @@ class EncoderLayer(nn.Module):
             b, s, _ = t.shape
             return t.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
+        k, v = split_heads(k), split_heads(v)
+        if time_axis is not None:
+            # sequence parallelism (shard_map over the time axis): queries,
+            # projections, FFN, and norms are token-local; only attention
+            # needs the full sequence, so K/V all-gather over the mesh axis
+            # (device order == global time order). kv_lengths are global
+            # column counts and mask identically on every chip.
+            k = jax.lax.all_gather(k, time_axis, axis=2, tiled=True)
+            v = jax.lax.all_gather(v, time_axis, axis=2, tiled=True)
+
         attn = flash_attention(
-            split_heads(q), split_heads(k), split_heads(v),
+            split_heads(q), k, v,
             kv_lengths=kv_lengths, use_pallas=use_pallas,
             # HF wav2vec2-base trains with attention_dropout=0.1 on the
             # softmax probabilities (routes through the XLA path)
@@ -345,6 +356,7 @@ class Wav2Vec2Encoder(nn.Module):
         train: bool = False,
         apply_spec_augment: bool = False,
         use_pallas: Optional[bool] = None,
+        pre_layers_only: bool = False,
     ):
         cfg = self.config
         # the fused conv kernel is inference-only (no VJP); training takes
@@ -439,6 +451,12 @@ class Wav2Vec2Encoder(nn.Module):
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(h)
         if train:
             h = nn.Dropout(0.1, deterministic=False)(h)
+
+        if pre_layers_only:
+            # sequence-parallel split point (parallel/sequence.py): everything
+            # above is O(T) token-or-window local; the transformer stack below
+            # is what shards over the mesh's time axis
+            return h, feat_lengths
 
         for i in range(cfg.num_layers):
             out = EncoderLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
