@@ -66,6 +66,24 @@ def periodic_positional_encoding(period: int = PERIOD, d_model: int = FEATURE_DI
     return pe.astype(np.float32)
 
 
+def normalize_waveform(
+    audio: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Wav2Vec2Processor zero-mean/unit-var normalization, masked to the
+    valid prefix for padded batches — the exact pre-encoder step of
+    ``FaceFormer.__call__`` (reference host round-trip: faceformer.py:142-144),
+    exposed for callers that run the encoder externally (sequence-parallel
+    serving)."""
+    if lengths is None:
+        return wav2vec2_zero_mean_unit_var(audio)
+    n_samples = audio.shape[1]
+    valid = (jnp.arange(n_samples)[None, :] < lengths[:, None]).astype(jnp.float32)
+    n = jnp.maximum(lengths.astype(jnp.float32), 1.0)[:, None]
+    mean = jnp.sum(audio * valid, axis=1, keepdims=True) / n
+    var = jnp.sum(jnp.square(audio - mean) * valid, axis=1, keepdims=True) / n
+    return (audio - mean) / jnp.sqrt(var + 1e-7) * valid
+
+
 def frame_count(n_samples: int) -> int:
     """frame_num = samples * 60 // 16000 (reference: faceformer.py:141)."""
     return n_samples * FPS // AUDIO_SR
@@ -127,6 +145,7 @@ class FaceFormer(nn.Module):
         train: bool = False,
         use_pallas: Optional[bool] = None,
         return_hidden: bool = False,
+        encoder_hidden: Optional[jnp.ndarray] = None,
     ):
         """Returns (B, T, V, 3) vertices with T = frame_count(S), plus a
         (B, T) frame validity mask when ``lengths`` is given.
@@ -144,21 +163,19 @@ class FaceFormer(nn.Module):
         # ---- encoder ----------------------------------------------------
         # Wav2Vec2Processor normalization stays on-chip (reference does a
         # host numpy round-trip, faceformer.py:142-144)
-        if lengths is None:
-            norm_audio = wav2vec2_zero_mean_unit_var(audio)
-        else:
-            valid = (jnp.arange(n_samples)[None, :] < lengths[:, None]).astype(jnp.float32)
-            n = jnp.maximum(lengths.astype(jnp.float32), 1.0)[:, None]
-            mean = jnp.sum(audio * valid, axis=1, keepdims=True) / n
-            var = jnp.sum(jnp.square(audio - mean) * valid, axis=1, keepdims=True) / n
-            norm_audio = (audio - mean) / jnp.sqrt(var + 1e-7) * valid
-
         frame_lengths = None if lengths is None else lengths * FPS // AUDIO_SR
-        hidden = Wav2Vec2Encoder(Wav2Vec2Config(), dtype=self.dtype, name="audio_encoder")(
-            norm_audio, output_len=n_frames, lengths=lengths,
-            output_lengths=frame_lengths,
-            train=train, apply_spec_augment=train, use_pallas=use_pallas,
-        )  # (B, T, 768)
+        if encoder_hidden is not None:
+            # externally-computed hidden states (sequence-parallel serving:
+            # parallel/sequence.py time-shards the encoder over the mesh;
+            # caller normalized with normalize_waveform)
+            hidden = encoder_hidden
+        else:
+            norm_audio = normalize_waveform(audio, lengths)
+            hidden = Wav2Vec2Encoder(Wav2Vec2Config(), dtype=self.dtype, name="audio_encoder")(
+                norm_audio, output_len=n_frames, lengths=lengths,
+                output_lengths=frame_lengths,
+                train=train, apply_spec_augment=train, use_pallas=use_pallas,
+            )  # (B, T, 768)
 
         prec = dot_precision(self.dtype)
 

@@ -55,7 +55,14 @@ class FaceFormerPredictor:
         decode_impl: Optional[str] = None,
         unit_scale: float = 100.0,
         mesh=None,
+        sp_mesh=None,
     ):
+        if mesh is not None and sp_mesh is not None:
+            raise ValueError(
+                "mesh= (data-parallel clip batches) and sp_mesh= "
+                "(time-sharded encoder) are mutually exclusive"
+            )
+        self.sp_mesh = sp_mesh
         self.model = FaceFormer(
             n_verts=n_verts,
             n_onehot=n_onehot,
@@ -75,6 +82,10 @@ class FaceFormerPredictor:
                 jnp.zeros((1, n_verts // 3, 3), jnp.float32),
             )
         self.mesh = mesh
+        if sp_mesh is not None:
+            from audio2face_tpu.parallel.mesh import replicate
+
+            variables = replicate(sp_mesh, variables)
         if mesh is not None:
             from audio2face_tpu.parallel.mesh import replicate
 
@@ -127,9 +138,34 @@ class FaceFormerPredictor:
                 # vertex head runs per time-chunk in __call__ — its (B, T,
                 # V, 3) f32 output is the one tensor that outgrows HBM on
                 # long clips (~17 GB for 8x 3-minute clips)
+                encoder_hidden = None
+                if self.sp_mesh is not None:
+                    # sequence parallelism: the wav2vec2 stack (the O(T^2)
+                    # bulk) time-shards over the mesh; the tiny d=64 decoder
+                    # runs on the gathered hidden states
+                    from audio2face_tpu.models.faceformer import (
+                        FPS as _FPS,
+                        AUDIO_SR as _ASR,
+                        frame_count,
+                        normalize_waveform,
+                    )
+                    from audio2face_tpu.parallel.sequence import (
+                        sequence_parallel_encode,
+                    )
+
+                    encoder_hidden = sequence_parallel_encode(
+                        {"params": variables["params"]["audio_encoder"]},
+                        normalize_waveform(audio, lengths),
+                        self.sp_mesh,
+                        output_len=frame_count(audio.shape[1]),
+                        lengths=lengths,
+                        output_lengths=lengths * _FPS // _ASR,
+                        dtype=self.model.dtype,
+                    )
                 hs, mask = self.model.apply(
                     variables, audio, one_hot, template * scale,
                     lengths=lengths, return_hidden=True,
+                    encoder_hidden=encoder_hidden,
                 )
                 return hs, mask
 

@@ -86,3 +86,37 @@ def test_sp_layers_entry_point(setup):
     )
     want = sequence_parallel_encode(variables, audio, mesh, config=CFG)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_faceformer_predictor_sp_mesh_matches_solo():
+    """End-to-end sequence-parallel serving: FaceFormerPredictor(sp_mesh=)
+    time-shards the full-size wav2vec2 encoder over 2 chips and reproduces
+    the single-device predictor on ragged padded clips."""
+    from audio2face_tpu.serving import FaceFormerPredictor
+
+    rng = np.random.default_rng(3)
+    solo = FaceFormerPredictor(
+        n_verts=150, bf16=False, bucket_seconds=0.5, seed=1
+    )
+    sp = FaceFormerPredictor(
+        n_verts=150, bf16=False, bucket_seconds=0.5,
+        variables=solo.variables,
+        sp_mesh=make_mesh((2, 1), devices=jax.devices()[:2]),
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        FaceFormerPredictor(
+            n_verts=150, variables=solo.variables,
+            mesh=make_mesh((2, 1), devices=jax.devices()[:2]),
+            sp_mesh=make_mesh((2, 1), devices=jax.devices()[:2]),
+        )
+    audios = [
+        (rng.normal(size=int(s * 16000)) * 0.1).astype(np.float32)
+        for s in (0.5, 0.35)
+    ]
+    one_hot = np.eye(12, dtype=np.float32)[[0, 5]]
+    template = rng.normal(size=(50, 3)).astype(np.float32) * 0.01
+    want = solo(audios, one_hot, template)
+    got = sp(audios, one_hot, template)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=1e-5)
