@@ -6,6 +6,15 @@ from audio2face_tpu.parallel.mesh import (
     wav2vec2_param_spec,
     shard_params_tensor_parallel,
 )
+from audio2face_tpu.parallel.sequence import (
+    sequence_parallel_encode,
+    sequence_parallel_layers,
+)
+from audio2face_tpu.parallel.pipeline import (
+    pipeline_parallel_encode,
+    pipeline_parallel_layers,
+    stack_stage_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +23,9 @@ __all__ = [
     "batch_sharding",
     "wav2vec2_param_spec",
     "shard_params_tensor_parallel",
+    "sequence_parallel_encode",
+    "sequence_parallel_layers",
+    "pipeline_parallel_encode",
+    "pipeline_parallel_layers",
+    "stack_stage_params",
 ]
