@@ -48,16 +48,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audio2face_tpu.models.decoder_step import make_decoder_step
 from audio2face_tpu.models.faceformer import (
     AUDIO_SR,
     FEATURE_DIM,
     N_HEADS,
-    PERIOD,
     frame_count,
-    periodic_positional_encoding,
 )
 from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
-from audio2face_tpu.ops.attention import decode_step_attention
 from audio2face_tpu.streaming import _ceil_grain
 
 
@@ -66,7 +64,7 @@ class _SlotState:
 
     __slots__ = (
         "active", "finished", "flushed", "buffer", "history",
-        "base_sum", "base_sqsum", "base_n", "frames_total", "pending",
+        "base_sum", "base_sqsum", "base_n", "pending",
     )
 
     def __init__(self):
@@ -81,7 +79,6 @@ class _SlotState:
         self.base_sum = 0.0
         self.base_sqsum = 0.0
         self.base_n = 0
-        self.frames_total = 0  # frames pushed so far (capacity accounting)
         self.pending: list[np.ndarray] = []
 
 
@@ -327,7 +324,6 @@ class MultiStreamFaceFormerPredictor:
                 sl.pending.append(
                     verts_np[i, : n_valid[i]].reshape(int(n_valid[i]), -1, 3)
                 )
-                sl.frames_total += int(n_valid[i])
         self._t0 += n_valid.astype(np.int64)
 
     def _drain(self, slot: int) -> np.ndarray:
@@ -392,56 +388,23 @@ class MultiStreamFaceFormerPredictor:
         if self._decode is not None:
             return self._decode
         d = FEATURE_DIM
-        hd = d // N_HEADS
         n_frames = self.chunk_frames
         t_scratch = self.t_max  # scratch cache row for masked-off steps
-        pe = jnp.asarray(periodic_positional_encoding())
         scale = self.unit_scale
 
         def run(p, cross, styles, templates, emb0, k_cache, v_cache, t0, n_valid):
             # slot count from the input, NOT the pool: under shard_map this
             # traces with each chip's local slice (n_streams / n_data)
             s = emb0.shape[0]
-            fb_k = p["vertice_map_r_kernel"] @ p["vertice_map_kernel"]
-            fb_b = (
-                p["vertice_map_r_bias"] @ p["vertice_map_kernel"]
-                + p["vertice_map_bias"]
+            # the per-frame decode math is the shared models.decoder_step
+            # step (also scanned by the single-stream predictor); masked-off
+            # streams write the scratch cache row (never attended — the
+            # causal mask only admits rows <= t < t_scratch) and their
+            # carried state is where-frozen, so an idle or late-joining
+            # stream is bit-identical to one that never stepped
+            step = make_decoder_step(
+                p, styles=styles, t0=t0, n_valid=n_valid, t_scratch=t_scratch
             )
-
-            def layer_norm(x, name):
-                mu = jnp.mean(x, axis=-1, keepdims=True)
-                var = jnp.var(x, axis=-1, keepdims=True)
-                return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p[f"{name}_scale"] + p[f"{name}_bias"]
-
-            upd = jax.vmap(
-                lambda c, u, idx: jax.lax.dynamic_update_index_in_dim(c, u, idx, axis=1)
-            )
-
-            def step(carry, xt):
-                emb, kc, vc = carry
-                i, cross_t = xt  # cross_t: (S, d)
-                active = i < n_valid  # (S,)
-                t = t0 + i  # (S,) per-stream absolute frame
-                x = emb + pe[t % PERIOD]  # (S, d)
-                q = (x @ p["dec_q_kernel"] + p["dec_q_bias"]).reshape(s, N_HEADS, hd)
-                k = (x @ p["dec_k_kernel"] + p["dec_k_bias"]).reshape(s, N_HEADS, hd)
-                v = (x @ p["dec_v_kernel"] + p["dec_v_bias"]).reshape(s, N_HEADS, hd)
-                # masked-off streams write the scratch row: the causal mask
-                # (j <= t < t_scratch) never attends it, so their caches are
-                # untouched where it matters and nothing needs a rollback
-                t_write = jnp.where(active, t, t_scratch)
-                kc = upd(kc, k, t_write)
-                vc = upd(vc, v, t_write)
-                attn = decode_step_attention(q, kc, vc, t, alibi_period=PERIOD)
-                sa = attn.reshape(s, d) @ p["dec_out_kernel"] + p["dec_out_bias"]
-                h = layer_norm(x + sa, "norm1")
-                h = layer_norm(h + cross_t, "norm2")
-                ff = jnp.maximum(h @ p["linear1_kernel"] + p["linear1_bias"], 0.0)
-                ff = ff @ p["linear2_kernel"] + p["linear2_bias"]
-                h = layer_norm(h + ff, "norm3")
-                emb_next = h @ fb_k + fb_b + styles
-                emb = jnp.where(active[:, None], emb_next, emb)
-                return (emb, kc, vc), h
 
             xs = (jnp.arange(n_frames), jnp.swapaxes(cross, 0, 1))
             (emb, kc, vc), hs = jax.lax.scan(step, (emb0, k_cache, v_cache), xs)

@@ -367,7 +367,7 @@ def fused_conv_encoder(
         kern,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xi16 — DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # xi16 — DMA'd manually
             pl.BlockSpec((1, 1, 8 * C), lambda bi, ti: (bi, 0, 0)),  # gs8
             pl.BlockSpec((1, 1, 8 * C), lambda bi, ti: (bi, 0, 0)),  # gb8
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w0big

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from audio2face_tpu.models.wav2vec2 import EncoderLayer, Wav2Vec2Config, Wav2Vec2Encoder
-from audio2face_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_map_data
+from audio2face_tpu.parallel.mesh import MODEL_AXIS, shard_map_data
 
 
 def stack_stage_params(params: dict, n_stages: int, config: Wav2Vec2Config):

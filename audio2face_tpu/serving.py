@@ -39,6 +39,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _fit_max_batch(max_batch: int, n_data: int) -> int:
+    """Largest batch cap <= max_batch that splits evenly over the mesh's
+    data axis (each chip gets a whole share), clamped to one item per chip.
+    Rounds DOWN — never exceeds the caller's per-call cap — and warns."""
+    if max_batch % n_data == 0:
+        return max_batch
+    import warnings
+
+    new = max(n_data, (max_batch // n_data) * n_data)
+    warnings.warn(
+        f"max_batch={max_batch} is not divisible by the "
+        f"mesh data axis ({n_data}); using max_batch={new}",
+        stacklevel=3,
+    )
+    return new
+
+
 class FaceFormerPredictor:
     """Batched speech -> vertex-animation inference for FaceFormer."""
 
@@ -89,20 +106,7 @@ class FaceFormerPredictor:
         if mesh is not None:
             from audio2face_tpu.parallel.mesh import replicate
 
-            n_data = mesh.shape["data"]
-            if self.max_batch % n_data != 0:
-                # each chip gets max_batch/n_data items; keep it whole by
-                # rounding DOWN (never exceed the caller's per-call cap),
-                # clamped to one item per chip
-                import warnings
-
-                new = max(n_data, (self.max_batch // n_data) * n_data)
-                warnings.warn(
-                    f"max_batch={self.max_batch} is not divisible by the "
-                    f"mesh data axis ({n_data}); using max_batch={new}",
-                    stacklevel=2,
-                )
-                self.max_batch = new
+            self.max_batch = _fit_max_batch(self.max_batch, mesh.shape["data"])
             variables = replicate(mesh, variables)
         self.variables = variables
         self._fns: dict = {}
@@ -402,17 +406,7 @@ class FramePredictor:
         if mesh is not None:
             from audio2face_tpu.parallel.mesh import replicate
 
-            n_data = mesh.shape["data"]
-            if self.max_batch % n_data != 0:
-                import warnings
-
-                new = max(n_data, (self.max_batch // n_data) * n_data)
-                warnings.warn(
-                    f"max_batch={self.max_batch} is not divisible by the "
-                    f"mesh data axis ({n_data}); using max_batch={new}",
-                    stacklevel=2,
-                )
-                self.max_batch = new
+            self.max_batch = _fit_max_batch(self.max_batch, mesh.shape["data"])
             variables = replicate(mesh, variables)
             if self._fe_params is not None:
                 self._fe_params = replicate(mesh, self._fe_params)

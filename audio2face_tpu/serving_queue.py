@@ -46,6 +46,12 @@ class _Request:
     sample_rate: int
     future: Future
     deadline: Optional[float] = None  # monotonic seconds; None = no timeout
+    # whether this request currently owns a depth-semaphore slot. submit()
+    # always acquires one; _requeue() may fail its non-blocking re-acquire,
+    # in which case the request rides slotless and _take must NOT release
+    # for it (a release would exceed the BoundedSemaphore's bound and kill
+    # the dispatcher thread with ValueError).
+    holds_slot: bool = True
 
 
 class BatchingServer:
@@ -135,9 +141,10 @@ class BatchingServer:
     # ------------------------------------------------------------------
 
     def _take(self, timeout: Optional[float] = None) -> Optional[_Request]:
-        """Pop one item, releasing its depth slot (sentinel has none)."""
+        """Pop one item, releasing its depth slot if it owns one (the
+        sentinel and slotless requeued stragglers don't)."""
         item = self._q.get() if timeout is None else self._q.get(timeout=timeout)
-        if item is not None and self._slots is not None:
+        if item is not None and self._slots is not None and item.holds_slot:
             self._slots.release()
         return item
 
@@ -191,9 +198,13 @@ class BatchingServer:
     def _requeue(self, r: _Request) -> None:
         """Put a popped request back (rate-change flush); re-takes a slot
         if one is free, else rides slotless — depth accounting may briefly
-        undercount by the one straggler, never overcount."""
-        if self._slots is not None:
-            self._slots.acquire(blocking=False)
+        undercount by the one straggler, never overcount. Slot ownership is
+        recorded on the request so _take releases exactly what was
+        acquired (a blind release here could exceed the semaphore bound
+        once concurrent submits grab the freed slots first)."""
+        r.holds_slot = (
+            self._slots.acquire(blocking=False) if self._slots is not None else True
+        )
         self._q.put(r)
 
     def _dispatch(self, group: list[_Request]) -> None:

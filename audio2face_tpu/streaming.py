@@ -45,12 +45,9 @@ from audio2face_tpu.models.faceformer import (
     FEATURE_DIM,
     FPS,
     N_HEADS,
-    PERIOD,
     frame_count,
-    periodic_positional_encoding,
 )
 from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
-from audio2face_tpu.ops.attention import decode_step_attention
 
 # frame-exact granularity: 800 samples == 3 frames (800 * 60 / 16000)
 GRAIN = 800
@@ -165,47 +162,19 @@ class StreamingFaceFormerPredictor:
         return run
 
     def _decode_fn(self, n_frames: int):
-        """Continue the exact causal decode for ``n_frames`` new frames."""
-        d = FEATURE_DIM
-        hd = d // N_HEADS
-        pe = jnp.asarray(periodic_positional_encoding())
+        """Continue the exact causal decode for ``n_frames`` new frames.
+        The per-frame math is the shared ``models.decoder_step`` step (also
+        scanned by the multi-stream pool) at S=1, all frames active."""
+        from audio2face_tpu.models.decoder_step import make_decoder_step
 
         @jax.jit
         def run(p, cross_chunk, style, emb0, k_cache, v_cache, t0):
-            fb_k = p["vertice_map_r_kernel"] @ p["vertice_map_kernel"]
-            fb_b = (
-                p["vertice_map_r_bias"] @ p["vertice_map_kernel"]
-                + p["vertice_map_bias"]
+            step = make_decoder_step(
+                p, styles=style, t0=jnp.asarray(t0, jnp.int32).reshape(1)
             )
-
-            def layer_norm(x, name):
-                mu = jnp.mean(x, axis=-1, keepdims=True)
-                var = jnp.var(x, axis=-1, keepdims=True)
-                return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p[f"{name}_scale"] + p[f"{name}_bias"]
-            def step(carry, xt):
-                emb, k_cache, v_cache = carry
-                t, cross_t = xt
-                x = emb + pe[t % PERIOD]
-                q = (x @ p["dec_q_kernel"] + p["dec_q_bias"]).reshape(1, N_HEADS, hd)
-                k = (x @ p["dec_k_kernel"] + p["dec_k_bias"]).reshape(1, N_HEADS, hd)
-                v = (x @ p["dec_v_kernel"] + p["dec_v_bias"]).reshape(1, N_HEADS, hd)
-                k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k, t, axis=2)
-                v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v, t, axis=2)
-                attn = decode_step_attention(
-                    q, k_cache, v_cache, t, alibi_period=PERIOD
-                )
-                sa = attn.reshape(1, d) @ p["dec_out_kernel"] + p["dec_out_bias"]
-                h = layer_norm(x + sa, "norm1")
-                h = layer_norm(h + cross_t, "norm2")
-                ff = jnp.maximum(h @ p["linear1_kernel"] + p["linear1_bias"], 0.0)
-                ff = ff @ p["linear2_kernel"] + p["linear2_bias"]
-                h = layer_norm(h + ff, "norm3")
-                emb_next = h @ fb_k + fb_b + style
-                return (emb_next, k_cache, v_cache), h
-
-            ts = t0 + jnp.arange(n_frames)
+            xs = (jnp.arange(n_frames), jnp.swapaxes(cross_chunk, 0, 1))
             (emb, k_cache, v_cache), hs = jax.lax.scan(
-                step, (emb0, k_cache, v_cache), (ts, jnp.swapaxes(cross_chunk, 0, 1))
+                step, (emb0, k_cache, v_cache), xs
             )
             return emb, k_cache, v_cache, jnp.swapaxes(hs, 0, 1)
 

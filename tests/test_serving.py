@@ -288,6 +288,70 @@ def test_queue_backpressure_bounded_depth():
     server.close()
 
 
+def test_requeue_slotless_straggler_never_overreleases():
+    """Regression: a rate-mismatched straggler requeued while concurrent
+    submits hold every depth slot rides slotless; taking it later must NOT
+    release a slot it doesn't own (the BoundedSemaphore over-release used
+    to raise ValueError inside _run and kill the dispatcher thread)."""
+    from concurrent.futures import Future
+
+    from audio2face_tpu.serving_queue import BatchingServer, _Request
+
+    fake = _SlowFake()
+    fake.gate.set()
+    server = BatchingServer(fake, max_wait_ms=1.0, max_queue=1)
+    server.close()  # park the dispatcher; drive the internals directly
+
+    def mk(rate):
+        return _Request(
+            np.zeros(8, np.float32), np.zeros(12, np.float32),
+            np.zeros((2, 3), np.float32), rate, Future(),
+        )
+
+    assert server._slots.acquire(blocking=False)  # r1's submit takes the slot
+    r1 = mk(8000)
+    server._q.put(r1)
+    assert server._take() is r1  # pop frees the slot
+    assert server._slots.acquire(blocking=False)  # concurrent submit grabs it
+    r2 = mk(16000)
+    server._q.put(r2)
+    server._requeue(r1)  # no slot free -> rides slotless
+    assert not r1.holds_slot
+    assert server._take() is r2  # releases r2's slot
+    assert server._take() is r1  # previously: ValueError (over-release)
+    # depth invariant intact: exactly one slot available afterwards
+    assert server._slots.acquire(blocking=False)
+    assert not server._slots.acquire(blocking=False)
+    server._slots.release()
+
+
+def test_queue_mixed_rates_under_bounded_depth():
+    """Concurrent submitters with alternating sample rates against a small
+    max_queue: every future resolves and the dispatcher survives the
+    rate-change requeue churn."""
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    fake = _SlowFake()
+    fake.gate.set()
+    server = BatchingServer(fake, max_wait_ms=5.0, max_queue=2)
+    futs = [None] * 12
+
+    def worker(i):
+        futs[i] = server.submit(
+            np.full(100, float(i + 1), np.float32), np.zeros(12),
+            np.zeros((2, 3)), sample_rate=16000 if i % 2 == 0 else 8000,
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    for i, f in enumerate(futs):
+        assert f.result(timeout=30)[0, 0, 0] == float(i + 1)
+    server.close()
+
+
 def test_queue_failing_batch_does_not_wedge_dispatcher():
     """A predictor exception resolves that group's futures; later requests
     are still served — under concurrent submitters."""
