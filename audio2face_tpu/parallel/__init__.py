@@ -5,6 +5,7 @@ from audio2face_tpu.parallel.mesh import (
     batch_sharding,
     wav2vec2_param_spec,
     shard_params_tensor_parallel,
+    shard_state_tensor_parallel,
 )
 from audio2face_tpu.parallel.sequence import (
     sequence_parallel_encode,
@@ -23,6 +24,7 @@ __all__ = [
     "batch_sharding",
     "wav2vec2_param_spec",
     "shard_params_tensor_parallel",
+    "shard_state_tensor_parallel",
     "sequence_parallel_encode",
     "sequence_parallel_layers",
     "pipeline_parallel_encode",

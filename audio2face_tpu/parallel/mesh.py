@@ -132,3 +132,25 @@ def shard_params_tensor_parallel(mesh: Mesh, params):
             return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(put, params)
+
+
+def shard_state_tensor_parallel(mesh: Mesh, tree):
+    """Place a full training-state pytree for DP × TP training.
+
+    Every leaf under an ``audio_encoder`` subtree gets its wav2vec2 TP spec
+    — this covers the params AND the optimizer moments, whose tree paths
+    mirror the param tree (:func:`wav2vec2_param_spec` matches on leaf-name
+    substrings, so the optimizer-state prefix is irrelevant). Everything
+    else replicates. Complements :func:`shard_params_tensor_parallel`,
+    which places a bare encoder param tree.
+    """
+    def put(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        in_encoder = any(str(n) == "audio_encoder" for n in names)
+        spec = wav2vec2_param_spec(path, leaf) if in_encoder else P()
+        try:
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        except ValueError:  # dimension doesn't divide the axis
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(put, tree)

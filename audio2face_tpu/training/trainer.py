@@ -41,7 +41,14 @@ from flax import struct
 
 from audio2face_tpu.config import ExpConfig
 from audio2face_tpu.losses import masked_faceformer_loss, mse_error
-from audio2face_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from audio2face_tpu.parallel.mesh import (
+    MODEL_AXIS,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_tensor_parallel,
+    shard_state_tensor_parallel,
+)
 from audio2face_tpu.registry import get_extractor, get_loss_fn, get_model
 
 
@@ -78,9 +85,21 @@ class Audio2FaceExperiment:
         mesh=None,
         log_dir: Optional[str] = None,
         tensorboard: bool = True,
+        tensor_parallel: Optional[bool] = None,
     ):
+        """tensor_parallel: Megatron-style shard the wav2vec2 encoder's
+        params (and optimizer moments) over the mesh's ``model`` axis —
+        GSPMD inserts the activation collectives under the existing jitted
+        steps. Default: auto-enabled whenever the mesh has a model axis
+        (> 1); with it replicated, a model axis would only duplicate work.
+        """
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh_shape)
+        self.tensor_parallel = (
+            self.mesh.shape[MODEL_AXIS] > 1
+            if tensor_parallel is None
+            else bool(tensor_parallel)
+        )
         self.log_dir = log_dir or os.path.join("logs", config.name())
         self.is_faceformer = config.modelname == "faceformer"
         self._tb = None
@@ -112,6 +131,11 @@ class Audio2FaceExperiment:
         # bake ~380 MB of literals into every compiled step (remote-compile
         # links reject the payload outright)
         self._fe_params = getattr(self.feature_extractor, "params", None)
+        if self.tensor_parallel and self._fe_params is not None:
+            # the wav2vec extractor is itself an encoder param tree
+            self._fe_params = shard_params_tensor_parallel(
+                self.mesh, self._fe_params
+            )
         # config.loss override: the reference stores the raw string as the
         # loss callable (lightning_model.py:97, a latent crash); here known
         # names map to the actual loss classes
@@ -135,6 +159,14 @@ class Audio2FaceExperiment:
     # state
     # ------------------------------------------------------------------
 
+    def _place_state(self, tree):
+        """Put a state pytree on the mesh: replicated, or — under tensor
+        parallelism — with the wav2vec2 encoder leaves (params and optimizer
+        moments alike) sharded over the model axis."""
+        if self.tensor_parallel:
+            return shard_state_tensor_parallel(self.mesh, tree)
+        return replicate(self.mesh, tree)
+
     def init_state(self, batch: dict, seed: Optional[int] = None) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed if seed is None else seed)
         x, one_hot, _, template, _ = self._unpack(
@@ -153,7 +185,7 @@ class Audio2FaceExperiment:
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
         )
-        return replicate(self.mesh, state)
+        return self._place_state(state)
 
     def load_torch_checkpoint(self, state: TrainState, path: str) -> TrainState:
         """Swap in converted reference weights (BASELINE parity path)."""
@@ -163,10 +195,11 @@ class Audio2FaceExperiment:
         variables = convert_state_dict(self.config.modelname, sd)
         params = jax.tree.map(jnp.asarray, variables["params"])
         batch_stats = jax.tree.map(jnp.asarray, variables.get("batch_stats", {}))
+        placed = self._place_state({"params": params, "batch_stats": batch_stats})
         return state.replace(
-            params=replicate(self.mesh, params),
-            batch_stats=replicate(self.mesh, batch_stats),
-            opt_state=self.tx.init(params),
+            params=placed["params"],
+            batch_stats=placed["batch_stats"],
+            opt_state=self.tx.init(placed["params"]),
         )
 
     # ------------------------------------------------------------------
@@ -422,7 +455,7 @@ class Audio2FaceExperiment:
                         break
 
         best_state = jax.tree.map(jnp.asarray, best_state)
-        best_state = replicate(self.mesh, best_state)
+        best_state = self._place_state(best_state)
         return best_state, FitResult(best_val, best_epoch, len(history), history)
 
     # ------------------------------------------------------------------
@@ -474,7 +507,7 @@ class Audio2FaceExperiment:
             batch_stats=restored.get("batch_stats") or {},
             opt_state=opt_state,
         )
-        state = replicate(self.mesh, jax.tree.map(jnp.asarray, state))
+        state = self._place_state(jax.tree.map(jnp.asarray, state))
         if with_epoch:
             epoch = int(os.path.basename(path).split("=")[1].split("-")[0])
             return state, epoch

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep tests deterministic and CPU-friendly.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Any subprocess a test spawns inherits the CPU pin: JAX_PLATFORMS alone is
+# overridden where the axon TPU plugin force-registers itself, and the TPU
+# is single-tenant — a test child attaching to it would crash or wedge
+# whatever is running there. Entry points honor this via
+# utils/cache.force_platform_from_env (config API, pre-init).
+os.environ.setdefault("A2F_FORCE_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 

@@ -92,6 +92,67 @@ def test_wav2vec2_tensor_parallel_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_trainer_tensor_parallel_step_matches_single_device():
+    """Audio2FaceExperiment auto-enables TP on a mesh with a model axis;
+    one DP×TP faceformer train step == the single-device step (metrics and
+    updated params), i.e. the user-facing trainer — not just the dryrun —
+    carries tensor parallelism."""
+    from audio2face_tpu.config import ExpConfig
+    from audio2face_tpu.training.trainer import Audio2FaceExperiment
+
+    n_verts, n_onehot, sr = 150, 12, 16000
+    config = ExpConfig(
+        batch_size=2, modelname="faceformer", vertex_count=n_verts,
+        one_hot_size=n_onehot, feature_extractor=None, sample_rate=sr,
+        split_frame=False, n_feature=32, out_dim=52, win_length=440,
+        percision="32", lr=1e-4,
+    )
+    seconds = 0.25
+    n_frames = int(seconds * sr) * 60 // sr
+    rng = np.random.default_rng(3)
+    batch = {
+        "audio": rng.normal(size=(2, int(seconds * sr))).astype(np.float32) * 0.1,
+        "audio_lengths": np.full((2,), int(seconds * sr), np.int32),
+        "verts": rng.normal(size=(2, n_frames, n_verts // 3, 3)).astype(np.float32),
+        "frame_lengths": np.full((2,), n_frames, np.int32),
+        "template_vert": rng.normal(size=(2, n_verts // 3, 3)).astype(np.float32),
+        "one_hot": np.eye(n_onehot, dtype=np.float32)[:2],
+    }
+
+    solo = Audio2FaceExperiment(
+        config, mesh=make_mesh((1, 1), devices=jax.devices()[:1]),
+        tensorboard=False,
+    )
+    assert not solo.tensor_parallel
+    s1 = solo.init_state(batch)
+    s1, m1 = solo.train_step(s1, batch, jax.random.PRNGKey(0))
+
+    tp = Audio2FaceExperiment(
+        config, mesh=make_mesh((2, 2), devices=jax.devices()[:4]),
+        tensorboard=False,
+    )
+    assert tp.tensor_parallel  # auto-enabled by the model axis
+    s2 = tp.init_state(batch)
+    # the encoder params actually live sharded on the model axis
+    qk = s2.params["audio_encoder"]["layer0"]["q_proj"]["kernel"]
+    assert qk.sharding.spec == P(None, "model")
+    s2, m2 = tp.train_step(s2, batch, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        float(m2["loss"]), float(m1["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m2["err"]), float(m1["err"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4
+        ),
+        jax.tree.map(np.asarray, s2.params),
+        jax.tree.map(np.asarray, s1.params),
+    )
+
+
 def test_dryrun_multichip_entry():
     """Cheap in-process variant: conftest's 8-device CPU mesh covers n=2."""
     import __graft_entry__
@@ -114,6 +175,11 @@ def test_dryrun_multichip_self_provisions():
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the env var alone is overridden on hosts where the axon TPU plugin
+    # force-registers itself; A2F_FORCE_PLATFORM pins CPU through the config
+    # API before backend init, so this test NEVER attaches to a real
+    # (single-tenant) TPU — concurrent TPU work would crash/wedge otherwise
+    env["A2F_FORCE_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     code = "import __graft_entry__ as g; g.dryrun_multichip(4)"
     proc = subprocess.run(
