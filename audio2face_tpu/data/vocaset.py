@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from typing import Iterator, Literal, Mapping, Optional, Sequence
 
 import numpy as np
+from audio2face_tpu.utils.shapes import round_up as _round_up
 
 TRAINING_SUBJECTS = [
     "FaceTalk_170728_03272_TA",
@@ -265,10 +266,6 @@ class ClipBatch:
             "template_vert": self.template_vert,
             "one_hot": self.one_hot,
         }
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 class ClipVocaSet:

@@ -42,7 +42,7 @@ def make_decoder_step(
     styles: jnp.ndarray,
     t0: jnp.ndarray,
     n_valid: Optional[jnp.ndarray] = None,
-    t_scratch: int = 0,
+    t_scratch: Optional[int] = None,
 ):
     """Build the ``lax.scan`` body advancing a batch of S decoder states by
     one frame each.
@@ -62,6 +62,13 @@ def make_decoder_step(
     Yields ``h`` (S, d), the pre-vertex-head hidden state per frame; the
     caller applies its own output head.
     """
+    if n_valid is not None and t_scratch is None:
+        # a defaulted scratch row of 0 would be a VALID cache position the
+        # causal mask attends on every later step — masked-off streams
+        # would silently corrupt the active prefix; force callers to pick
+        # a row past every active position (the cache length works)
+        raise ValueError("n_valid requires t_scratch (a cache row beyond "
+                         "every active position, e.g. the cache length - 1)")
     d = FEATURE_DIM
     hd = d // N_HEADS
     pe = jnp.asarray(periodic_positional_encoding())

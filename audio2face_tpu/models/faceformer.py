@@ -84,9 +84,17 @@ def normalize_waveform(
     return (audio - mean) / jnp.sqrt(var + 1e-7) * valid
 
 
-def frame_count(n_samples: int) -> int:
-    """frame_num = samples * 60 // 16000 (reference: faceformer.py:141)."""
-    return n_samples * FPS // AUDIO_SR
+def frame_count(n_samples):
+    """frame_num = samples * 60 // 16000 (reference: faceformer.py:141).
+
+    Accepts python ints or integer arrays. Evaluated as
+    ``q*FPS + r*FPS//SR`` (exact for non-negative inputs: n = q*SR + r ⇒
+    n*FPS//SR = q*FPS + (r*FPS)//SR) so int32 sample-count ARRAYS cannot
+    overflow — ``n*60`` wraps at only ~37 minutes of audio, and
+    sequence-parallel serving exists precisely for longer clips (x64 is
+    off, so the naive expression would wrap silently)."""
+    q, r = n_samples // AUDIO_SR, n_samples % AUDIO_SR
+    return q * FPS + r * FPS // AUDIO_SR
 
 
 def select_decode_impl(
@@ -163,7 +171,7 @@ class FaceFormer(nn.Module):
         # ---- encoder ----------------------------------------------------
         # Wav2Vec2Processor normalization stays on-chip (reference does a
         # host numpy round-trip, faceformer.py:142-144)
-        frame_lengths = None if lengths is None else lengths * FPS // AUDIO_SR
+        frame_lengths = None if lengths is None else frame_count(lengths)
         if encoder_hidden is not None:
             # externally-computed hidden states (sequence-parallel serving:
             # parallel/sequence.py time-shards the encoder over the mesh;

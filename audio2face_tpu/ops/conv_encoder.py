@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from audio2face_tpu.utils.shapes import round_up as _round_up
 
 # wav2vec2-base conv stack: (kernel, stride) per layer; 512 channels after l0
 CONV_KERNEL = (10, 3, 3, 3, 3, 2, 2)
@@ -54,10 +55,6 @@ CONV_STRIDE = (5, 2, 2, 2, 2, 2, 2)
 C = 512
 K0, S0 = CONV_KERNEL[0], CONV_STRIDE[0]
 EPS = 1e-5
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def stack_output_length(input_length: int) -> int:

@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audio2face_tpu.ops.attention import alibi_slopes
+from audio2face_tpu.utils.shapes import round_up as _round_up
 
 D = 64
 N_HEADS = 4
@@ -183,10 +184,6 @@ def _decode_kernel(
         hi = min(lo + chunk, n_steps)
         rows_c = min(lo + chunk, t_pad)
         emb = jax.lax.fori_loop(lo, hi, make_step(rows_c), emb)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 # Mosaic VMEM window ceiling requested by faceformer_decode_loop (v5e VMEM

@@ -33,10 +33,7 @@ from jax.sharding import PartitionSpec as P
 
 from audio2face_tpu.models.wav2vec2 import EncoderLayer, Wav2Vec2Config, Wav2Vec2Encoder
 from audio2face_tpu.parallel.mesh import DATA_AXIS, shard_map_data
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from audio2face_tpu.utils.shapes import round_up as _round_up
 
 
 def sequence_parallel_layers(
@@ -49,6 +46,7 @@ def sequence_parallel_layers(
     dtype=None,
     use_pallas: Optional[bool] = None,
     axis: str = DATA_AXIS,
+    gather_output: bool = False,
 ):
     """Run the transformer stack time-sharded over ``mesh``.
 
@@ -56,6 +54,11 @@ def sequence_parallel_layers(
     ``Wav2Vec2Encoder`` — only its ``layer{i}`` subtrees are read).
     h: (B, T, D) hidden states at the ``pre_layers_only`` split point.
     feat_lengths: optional (B,) valid token counts for padded batches.
+    gather_output: all-gather the result inside the shard_map so the
+    returned array is REPLICATED over ``axis`` rather than time-sharded.
+    Callers that feed the hidden states into ops GSPMD cannot partition
+    (the fused Pallas decode kernel in serving) need this — a Pallas
+    custom call must see replicated operands, never sharded ones.
     Returns (B, T, D).
     """
     n = mesh.shape[axis]
@@ -78,12 +81,15 @@ def sequence_parallel_layers(
                 {"params": lp[f"layer{i}"]}, x_local, kv_lengths=kl,
                 use_pallas=use_pallas, time_axis=axis,
             )
+        if gather_output:
+            x_local = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)
         return x_local
 
+    out_spec = P(None, None, None) if gather_output else P(None, axis, None)
     fn = shard_map_data(
         mesh, body,
         in_specs=(P(), P(None, axis, None), P()),
-        out_specs=P(None, axis, None),
+        out_specs=out_spec,
     )
     out = fn(layer_params, h, kvlen)
     return out[:, :t]
@@ -101,6 +107,7 @@ def sequence_parallel_encode(
     dtype=None,
     use_pallas: Optional[bool] = None,
     axis: str = DATA_AXIS,
+    gather_output: bool = False,
 ):
     """Full waveform -> hidden states with the transformer stack sharded
     on time. Drop-in for ``Wav2Vec2Encoder.apply`` at inference (same
@@ -113,5 +120,5 @@ def sequence_parallel_encode(
     return sequence_parallel_layers(
         variables["params"], h, mesh,
         feat_lengths=feat_lengths, config=config, dtype=dtype,
-        use_pallas=use_pallas, axis=axis,
+        use_pallas=use_pallas, axis=axis, gather_output=gather_output,
     )

@@ -33,24 +33,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio2face_tpu.models.faceformer import AUDIO_SR, FaceFormer
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from audio2face_tpu.utils.shapes import round_up as _round_up
 
 
 def _fit_max_batch(max_batch: int, n_data: int) -> int:
     """Largest batch cap <= max_batch that splits evenly over the mesh's
-    data axis (each chip gets a whole share), clamped to one item per chip.
-    Rounds DOWN — never exceeds the caller's per-call cap — and warns."""
+    data axis (each chip gets a whole share). Rounds DOWN — never exceeds
+    the caller's per-call cap (a memory ceiling on long clips) — and
+    warns; a cap smaller than the data axis cannot be honored at all
+    (every sharded call pads to a multiple of the axis), so that raises."""
     if max_batch % n_data == 0:
         return max_batch
+    if max_batch < n_data:
+        raise ValueError(
+            f"max_batch={max_batch} is smaller than the mesh data axis "
+            f"({n_data}): every mesh-sharded call is padded to a multiple "
+            f"of the axis, so the cap cannot be honored — raise max_batch "
+            f"to >= {n_data} or serve on a smaller mesh"
+        )
     import warnings
 
-    new = max(n_data, (max_batch // n_data) * n_data)
+    new = (max_batch // n_data) * n_data
     warnings.warn(
         f"max_batch={max_batch} is not divisible by the "
-        f"mesh data axis ({n_data}); using max_batch={new}",
+        f"mesh data axis ({n_data}); rounding down to max_batch={new}",
         stacklevel=3,
     )
     return new
@@ -148,8 +154,6 @@ class FaceFormerPredictor:
                     # bulk) time-shards over the mesh; the tiny d=64 decoder
                     # runs on the gathered hidden states
                     from audio2face_tpu.models.faceformer import (
-                        FPS as _FPS,
-                        AUDIO_SR as _ASR,
                         frame_count,
                         normalize_waveform,
                     )
@@ -157,14 +161,20 @@ class FaceFormerPredictor:
                         sequence_parallel_encode,
                     )
 
+                    # gather_output: the hidden states leave the shard_map
+                    # REPLICATED, so everything downstream (the d=64 decoder,
+                    # including the fused Pallas decode kernel — which GSPMD
+                    # cannot partition) sees replicated operands and runs
+                    # identically on every chip
                     encoder_hidden = sequence_parallel_encode(
                         {"params": variables["params"]["audio_encoder"]},
                         normalize_waveform(audio, lengths),
                         self.sp_mesh,
                         output_len=frame_count(audio.shape[1]),
                         lengths=lengths,
-                        output_lengths=lengths * _FPS // _ASR,
+                        output_lengths=frame_count(lengths),
                         dtype=self.model.dtype,
+                        gather_output=True,
                     )
                 hs, mask = self.model.apply(
                     variables, audio, one_hot, template * scale,

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio2face_tpu.utils.facemesh import FaceMesh
+from audio2face_tpu.utils.shapes import round_up as _round_up
 
 CAMERA_F = 4754.97941935 / 2
 CAMERA_C = (400.0, 400.0)
@@ -166,10 +167,6 @@ def rasterize_bands(
         return cbuf
 
     return jax.vmap(band)(tri, valid, row0)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 class Renderer:

@@ -48,6 +48,35 @@ def test_frame_count():
     assert frame_count(127600 * 16000 // 22000) == 348  # the bundled 5.8 s clip
 
 
+def test_frame_count_int32_arrays_no_overflow():
+    """Sample counts arrive as int32 device arrays in serving; the naive
+    ``n*60//16000`` wraps past ~37 minutes of audio (2^31/60 samples).
+    A 40-minute clip must produce the exact frame count, silently-wrapped
+    garbage being precisely what sequence-parallel long-clip serving
+    would otherwise feed the fps adapter."""
+    lens = [38_400_000, 60 * 16000, 127, 0]  # 40 min, 60 s, sub-frame, empty
+    got = frame_count(jnp.asarray(lens, jnp.int32))
+    np.testing.assert_array_equal(
+        np.asarray(got), [n * 60 // 16000 for n in lens]
+    )
+    # python-int path unchanged (exactness of q*FPS + r*FPS//SR)
+    for n in (0, 1, 15999, 16000, 16001, 127600, 2**40 + 12345):
+        assert frame_count(n) == n * 60 // 16000
+
+
+def test_decoder_step_requires_scratch_row_with_n_valid():
+    """make_decoder_step must refuse n_valid without an explicit scratch
+    cache row: a defaulted row 0 would be a valid attended position and
+    masked-off streams would corrupt the active prefix."""
+    from audio2face_tpu.models.decoder_step import make_decoder_step
+
+    with pytest.raises(ValueError, match="t_scratch"):
+        make_decoder_step(
+            {}, styles=jnp.zeros((2, 64)), t0=jnp.zeros((2,), jnp.int32),
+            n_valid=jnp.ones((2,), jnp.int32),
+        )
+
+
 def test_faceformer_parity_vs_naive_loop(pair):
     oracle, model, variables = pair
     rng = np.random.default_rng(0)

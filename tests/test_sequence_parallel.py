@@ -88,6 +88,19 @@ def test_sp_layers_entry_point(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+def test_sp_gather_output_matches_sharded(setup):
+    """gather_output=True (the serving mode: output replicated so the
+    Pallas decode kernel downstream never sees sharded operands) is the
+    same computation as the time-sharded default."""
+    encoder, variables, audio = setup
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    want = sequence_parallel_encode(variables, audio, mesh, config=CFG)
+    got = sequence_parallel_encode(
+        variables, audio, mesh, config=CFG, gather_output=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_faceformer_predictor_sp_mesh_matches_solo():
     """End-to-end sequence-parallel serving: FaceFormerPredictor(sp_mesh=)
     time-shards the full-size wav2vec2 encoder over 2 chips and reproduces
