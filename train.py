@@ -43,6 +43,12 @@ def main() -> None:
         help="mesh used to render the prediction video",
     )
     parser.add_argument("--skip-render", action="store_true")
+    parser.add_argument(
+        "--accumulate-grad-batches", type=int, default=1,
+        help="split each batch into k in-jit microbatches, average their "
+        "gradients, apply ONE optimizer update (peak activation memory "
+        "drops ~k-fold; Lightning's accumulate_grad_batches semantics)",
+    )
     args = parser.parse_args()
 
     dataset_path = args.dataset_path or os.path.join(os.getcwd(), "..")
@@ -72,7 +78,9 @@ def main() -> None:
     )
     datamodule.setup()
 
-    experiment = Audio2FaceExperiment(config)
+    experiment = Audio2FaceExperiment(
+        config, accumulate_grad_batches=args.accumulate_grad_batches
+    )
     state, result = experiment.fit(datamodule, max_epochs=args.max_epochs)
     print(f"Best val/err {result.best_val_err} at epoch {result.best_epoch}")
 
