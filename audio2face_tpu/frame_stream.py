@@ -271,12 +271,16 @@ class FrameStreamPool:
             # FramePredictor; mode="clip" is inert — rel is in range by
             # construction of span)
             j = jnp.arange(fb)
-            center = (f0[:, None] + j[None, :]) * sr // FPS  # (S, fb)
             # window for frame f covers samples [f*sr//FPS - n_pad,
             # f*sr//FPS + n_pad); windows[i, k] holds sample origin+k with
             # origin = f0*sr//FPS - n_pad, so the window start lands at
-            # rel = center - f0*sr//FPS
-            rel = center - (f0 * sr // FPS)[:, None]
+            # rel = (f0+j)*sr//FPS - f0*sr//FPS. Computed via r = f0 % FPS:
+            # with f0 = q*FPS + r both floors share the q*sr term, so
+            # rel = (r+j)*sr//FPS - r*sr//FPS EXACTLY — tiny operands, no
+            # int32 overflow no matter how long a live stream runs (the
+            # naive (f0+j)*sr product wraps at ~27 min of 22 kHz audio)
+            r = (f0 % FPS)[:, None]
+            rel = (r + j[None, :]) * sr // FPS - r * sr // FPS  # (S, fb)
             gather = rel[..., None] + jnp.arange(window)[None, None, :]
             frags = jnp.take_along_axis(
                 windows[:, None, :], gather.reshape(s, fb * window)[:, None, :],

@@ -413,7 +413,13 @@ class MultiStreamFaceFormerPredictor:
             verts = verts.reshape(s, n_frames, -1) + templates[:, None, :]
             return emb, kc, vc, verts / scale
 
-        run = jax.jit(self._fleet(run, n_out=4))
+        # donate the carried state (emb, k/v caches): the pool rebinds all
+        # three from the outputs every pump, so without donation every
+        # chunk-round COPIES both (S, H, t_max+1, hd) caches in HBM —
+        # ~2x470 MB per round at n_streams=64/max_seconds=600. TPU only:
+        # CPU ignores donation and warns.
+        donate = (4, 5, 6) if jax.default_backend() == "tpu" else ()
+        run = jax.jit(self._fleet(run, n_out=4), donate_argnums=donate)
         self._decode = run
         return run
 

@@ -325,7 +325,13 @@ def fused_conv_encoder(
     # is physically 12.8x its logical size in XLA's 128-lane tiling — at
     # 3-minute batch-8 clips that alone OOMs HBM (found by the round-3
     # long-clip drive). Masked statistics ride the same packed build.
-    feat_lengths = None if lengths is None else (lengths - K0) // S0 + 1
+    # clamp: lengths < K0 (e.g. a fully-padded zero-length row) would give a
+    # NEGATIVE window count, whose `% 8` wraps positive and sums garbage
+    # windows into that row's masked stats — clamped to 0 the mask is empty
+    # and the stats degrade to zeros, like the unfused path
+    feat_lengths = (
+        None if lengths is None else jnp.maximum((lengths - K0) // S0 + 1, 0)
+    )
     xi16, mean, rstd = _packed_im2col_and_stats(x, w0, t0, t0_pad, feat_lengths)
 
     # fold GN into one affine on the conv0 output: y * gs + gb

@@ -468,7 +468,12 @@ class FramePredictor:
                 # both sides; out-of-clip frames clamp into the pad (discarded
                 # on the host by each clip's true frame count)
                 padded = jnp.pad(audio, ((0, 0), (n_pad, window)))
-                starts = (frame0 + jnp.arange(fb)) * sr // fps
+                # starts = f*sr//fps via f = q*fps + r (exact): the naive
+                # int32 product f*sr wraps past frame ~97k (~27 min of
+                # clip); the decomposition is overflow-free for any clip
+                # that fits int32 sample indexing at all
+                f = frame0 + jnp.arange(fb)
+                starts = (f // fps) * sr + (f % fps) * sr // fps
                 gather = starts[:, None] + jnp.arange(window)[None, :]
                 frags = jnp.take(padded, gather, axis=1, mode="clip")
                 frags = frags.reshape(b * fb, window)

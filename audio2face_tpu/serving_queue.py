@@ -101,13 +101,23 @@ class BatchingServer:
     ) -> Future:
         """Enqueue one clip; returns a Future resolving to (T, V, 3).
 
-        timeout: max seconds the request may wait in queue before dispatch;
-            past it the future resolves with ``TimeoutError``. (It does not
-            preempt a dispatch already in flight.)
+        timeout: max seconds the request may wait before dispatch — the
+            clock starts NOW, so time spent blocked at the backpressure
+            gate counts against it: if no slot frees within the deadline
+            ``submit`` raises ``TimeoutError`` synchronously, and a request
+            still undispatched at its deadline resolves its future with
+            ``TimeoutError``. (It does not preempt a dispatch in flight.)
         block: behavior at ``max_queue`` depth — True applies backpressure
             (the caller blocks for a free slot), False raises ``queue.Full``.
         """
-        if self._slots is not None and not self._slots.acquire(blocking=block):
+        t0 = time.monotonic()
+        if self._slots is not None and not self._slots.acquire(
+            block, timeout if block else None
+        ):
+            if block and timeout is not None:
+                raise TimeoutError(
+                    "timed out waiting for a serving-queue slot"
+                )
             raise queue.Full("serving queue is at max_queue depth")
         try:
             fut: Future = Future()
@@ -117,7 +127,7 @@ class BatchingServer:
                 np.asarray(template, np.float32),
                 int(sample_rate),
                 fut,
-                time.monotonic() + timeout if timeout is not None else None,
+                t0 + timeout if timeout is not None else None,
             )
             with self._lock:
                 if self._closed:

@@ -167,7 +167,12 @@ class StreamingFaceFormerPredictor:
         scanned by the multi-stream pool) at S=1, all frames active."""
         from audio2face_tpu.models.decoder_step import make_decoder_step
 
-        @jax.jit
+        # donate the carried state: the stream rebinds emb/k/v from the
+        # outputs every chunk, so donation updates the caches in place
+        # instead of copying them per chunk (TPU only; CPU warns + ignores)
+        donate = (3, 4, 5) if jax.default_backend() == "tpu" else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate)
         def run(p, cross_chunk, style, emb0, k_cache, v_cache, t0):
             step = make_decoder_step(
                 p, styles=style, t0=jnp.asarray(t0, jnp.int32).reshape(1)

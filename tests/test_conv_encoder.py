@@ -147,3 +147,22 @@ def test_fused_stats_masked_lengths(setup, lens):
     _, mean, rstd = _packed_im2col_and_stats(xs, w0, t0, t0_pad, feat)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(rstd), np.asarray(rstd_ref), rtol=1e-5)
+
+
+def test_fused_masked_zero_length_row(setup):
+    """A fully-padded row (lengths=0 -> negative raw window count) must
+    yield zero stats, not garbage: the unclamped count's `% 8` wraps
+    positive and used to sum real-sample windows into mu/corr."""
+    cfg, x, fe, variables, kernels, gn = setup
+    lengths = jnp.asarray([L, 0], jnp.int32)
+    ref = fe.apply(variables, x, lengths)
+    out = fused_conv_encoder(
+        x, kernels, gn["scale"], gn["bias"], lengths,
+        interpret=True, tile_frames=8,
+    )
+    n = L
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        n = (n - k) // s + 1
+    err = np.max(np.abs(np.asarray(out, np.float32)[0, :n] - np.asarray(ref)[0, :n]))
+    assert err < 0.05 * np.max(np.abs(np.asarray(ref))), err
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))

@@ -10,6 +10,7 @@ batch-shape-dependent reduction order) — including ragged tails, which
 the flush zero-pads just like the offline fragmenter.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -290,3 +291,30 @@ def test_streaming_server_concurrent_frame_sessions(stack):
         assert outs[i].shape == want[i].shape
         np.testing.assert_allclose(outs[i], want[i], atol=1e-6, rtol=0,
                                    err_msg=f"session {i}")
+
+
+def test_window_gather_depends_only_on_f0_mod_fps(stack):
+    """The in-graph fragment gather must be a function of f0 % 60 only
+    (exact identity rel = (r+j)*sr//fps - r*sr//fps): identical windows at
+    f0 and f0 + k*60 — including f0 past the old int32 wrap point of
+    (f0*sr) — decode identical vertices."""
+    pred, pool = stack
+    rng = np.random.default_rng(7)
+    fn = pool._get_fn()
+    windows = jnp.asarray(
+        (rng.normal(size=(pool.n_streams, pool.span)) * 0.1).astype(np.float32)
+    )
+    one_hot = jnp.asarray(np.eye(12, dtype=np.float32)[: pool.n_streams])
+    template = jnp.asarray(
+        rng.normal(size=(pool.n_streams, pool.n_verts // 3, 3)).astype(np.float32) * 0.01
+    )
+    fe = pool._base._fe_params or {}
+    base = np.asarray([17, 3, 59], np.int64)[: pool.n_streams]
+    small = fn(pool.variables, fe, windows, one_hot, template,
+               jnp.asarray(base, jnp.int32))
+    huge_frames = (2**31 // pool.sr // 60 + 7) * 60  # past the old wrap
+    big = fn(pool.variables, fe, windows, one_hot, template,
+             jnp.asarray(base + huge_frames, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(big, np.float32), np.asarray(small, np.float32), atol=1e-6
+    )

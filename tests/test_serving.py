@@ -255,6 +255,28 @@ def test_queue_timeout_resolves_with_timeouterror():
     assert not any(3.0 in c for c in fake.calls)
 
 
+def test_queue_submit_timeout_honored_at_backpressure_gate():
+    """submit(timeout=) must bound the WAIT FOR A SLOT too: with the queue
+    at max depth the caller gets TimeoutError after ~timeout seconds, not
+    an unbounded block behind a stuck batch (the clock starts at submit)."""
+    from audio2face_tpu.serving_queue import BatchingServer
+
+    fake = _SlowFake()
+    server = BatchingServer(fake, max_wait_ms=1.0, max_queue=1)
+    blocker = _req(server, 1)  # parks the dispatcher inside fake()
+    time.sleep(0.1)
+    filler = _req(server, 2)  # takes the one depth slot
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        _req(server, 3, timeout=0.2)  # blocked at the gate -> timed out
+    assert time.monotonic() - t0 < 5.0
+    fake.gate.set()
+    assert blocker.result(timeout=10)[0, 0, 0] == 1.0
+    assert filler.result(timeout=10)[0, 0, 0] == 2.0
+    server.close()
+    assert not any(3.0 in c for c in fake.calls)
+
+
 def test_queue_backpressure_bounded_depth():
     """max_queue bounds in-flight depth: non-blocking submits at the cap
     raise queue.Full; blocking submits proceed once the dispatcher drains."""
