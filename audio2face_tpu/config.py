@@ -58,6 +58,10 @@ class ExpConfig(BaseModel):
     # training schedule (reference: train.py:48-59)
     max_epochs: int = 50
     early_stop_patience: int = 5
+    # gradient accumulation: split each batch into k in-jit microbatches,
+    # average their grads, apply ONE optimizer update (Lightning's
+    # accumulate_grad_batches semantics; batch_size must divide by k)
+    accumulate_grad_batches: int = 1
 
     @model_validator(mode="before")
     @classmethod

@@ -86,7 +86,7 @@ class Audio2FaceExperiment:
         log_dir: Optional[str] = None,
         tensorboard: bool = True,
         tensor_parallel: Optional[bool] = None,
-        accumulate_grad_batches: int = 1,
+        accumulate_grad_batches: Optional[int] = None,
     ):
         """tensor_parallel: Megatron-style shard the wav2vec2 encoder's
         params (and optimizer moments) over the mesh's ``model`` axis —
@@ -101,8 +101,11 @@ class Audio2FaceExperiment:
         activation memory drops ~k-fold while the optimizer sees the
         full-batch gradient (bit-parity for the mean losses; BatchNorm
         stats update once per microbatch, like k sequential torch
-        forwards). The batch size must divide evenly.
+        forwards). The batch size must divide evenly. Defaults to the
+        config's ``accumulate_grad_batches`` key (1 unless set).
         """
+        if accumulate_grad_batches is None:
+            accumulate_grad_batches = config.accumulate_grad_batches
         if accumulate_grad_batches < 1:
             raise ValueError("accumulate_grad_batches must be >= 1")
         self.accumulate_grad_batches = int(accumulate_grad_batches)

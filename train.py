@@ -44,10 +44,11 @@ def main() -> None:
     )
     parser.add_argument("--skip-render", action="store_true")
     parser.add_argument(
-        "--accumulate-grad-batches", type=int, default=1,
+        "--accumulate-grad-batches", type=int, default=None,
         help="split each batch into k in-jit microbatches, average their "
         "gradients, apply ONE optimizer update (peak activation memory "
-        "drops ~k-fold; Lightning's accumulate_grad_batches semantics)",
+        "drops ~k-fold; Lightning's accumulate_grad_batches semantics; "
+        "default: the config's accumulate_grad_batches key, else 1)",
     )
     args = parser.parse_args()
 
