@@ -62,6 +62,10 @@ class ExpConfig(BaseModel):
     # average their grads, apply ONE optimizer update (Lightning's
     # accumulate_grad_batches semantics; batch_size must divide by k)
     accumulate_grad_batches: int = 1
+    # FSDP / ZeRO-3: shard params + Adam moments over the mesh's data axis
+    # (GSPMD all-gathers weights at use, reduce-scatters grads); composes
+    # with tensor parallelism. See parallel/fsdp.py.
+    fsdp: bool = False
 
     @model_validator(mode="before")
     @classmethod

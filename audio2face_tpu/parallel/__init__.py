@@ -16,6 +16,10 @@ from audio2face_tpu.parallel.pipeline import (
     pipeline_parallel_layers,
     stack_stage_params,
 )
+from audio2face_tpu.parallel.fsdp import (
+    fsdp_spec,
+    shard_state_fsdp,
+)
 
 __all__ = [
     "make_mesh",
@@ -30,4 +34,6 @@ __all__ = [
     "pipeline_parallel_encode",
     "pipeline_parallel_layers",
     "stack_stage_params",
+    "fsdp_spec",
+    "shard_state_fsdp",
 ]

@@ -87,6 +87,7 @@ class Audio2FaceExperiment:
         tensorboard: bool = True,
         tensor_parallel: Optional[bool] = None,
         accumulate_grad_batches: Optional[int] = None,
+        fsdp: Optional[bool] = None,
     ):
         """tensor_parallel: Megatron-style shard the wav2vec2 encoder's
         params (and optimizer moments) over the mesh's ``model`` axis —
@@ -103,6 +104,12 @@ class Audio2FaceExperiment:
         stats update once per microbatch, like k sequential torch
         forwards). The batch size must divide evenly. Defaults to the
         config's ``accumulate_grad_batches`` key (1 unless set).
+
+        fsdp: ZeRO-3-style shard params + Adam moments over the mesh's
+        ``data`` axis (``parallel/fsdp.py``) — GSPMD all-gathers each
+        weight at use and reduce-scatters its gradient; composes with
+        tensor parallelism (a TP leaf keeps its model-axis dim and FSDP
+        claims another). Defaults to the config's ``fsdp`` key (False).
         """
         if accumulate_grad_batches is None:
             accumulate_grad_batches = config.accumulate_grad_batches
@@ -116,6 +123,7 @@ class Audio2FaceExperiment:
             if tensor_parallel is None
             else bool(tensor_parallel)
         )
+        self.fsdp = bool(config.fsdp if fsdp is None else fsdp)
         self.log_dir = log_dir or os.path.join("logs", config.name())
         self.is_faceformer = config.modelname == "faceformer"
         self._tb = None
@@ -147,11 +155,24 @@ class Audio2FaceExperiment:
         # bake ~380 MB of literals into every compiled step (remote-compile
         # links reject the payload outright)
         self._fe_params = getattr(self.feature_extractor, "params", None)
-        if self.tensor_parallel and self._fe_params is not None:
-            # the wav2vec extractor is itself an encoder param tree
-            self._fe_params = shard_params_tensor_parallel(
-                self.mesh, self._fe_params
-            )
+        if self._fe_params is not None:
+            if self.fsdp:
+                from audio2face_tpu.parallel.fsdp import shard_state_fsdp
+
+                # extractor params never update (stop-gradient) but still
+                # occupy a full replica per chip without sharding; fsdp_spec
+                # is name-agnostic so a bare wav2vec tree places fine, with
+                # TP specs composed in when the mesh has a model axis
+                self._fe_params = shard_state_fsdp(
+                    self.mesh,
+                    {"audio_encoder": self._fe_params},
+                    tensor_parallel=self.tensor_parallel,
+                )["audio_encoder"]
+            elif self.tensor_parallel:
+                # the wav2vec extractor is itself an encoder param tree
+                self._fe_params = shard_params_tensor_parallel(
+                    self.mesh, self._fe_params
+                )
         # config.loss override: the reference stores the raw string as the
         # loss callable (lightning_model.py:97, a latent crash); here known
         # names map to the actual loss classes
@@ -176,9 +197,16 @@ class Audio2FaceExperiment:
     # ------------------------------------------------------------------
 
     def _place_state(self, tree):
-        """Put a state pytree on the mesh: replicated, or — under tensor
-        parallelism — with the wav2vec2 encoder leaves (params and optimizer
-        moments alike) sharded over the model axis."""
+        """Put a state pytree on the mesh: replicated; under tensor
+        parallelism with the wav2vec2 encoder leaves (params and optimizer
+        moments alike) sharded over the model axis; under FSDP with every
+        large leaf additionally sharded over the data axis (ZeRO-3)."""
+        if self.fsdp:
+            from audio2face_tpu.parallel.fsdp import shard_state_fsdp
+
+            return shard_state_fsdp(
+                self.mesh, tree, tensor_parallel=self.tensor_parallel
+            )
         if self.tensor_parallel:
             return shard_state_tensor_parallel(self.mesh, tree)
         return replicate(self.mesh, tree)
