@@ -93,6 +93,110 @@ def generate_synthetic_vocaset(
     return out_dir
 
 
+def synthesize_speech_like(
+    seconds: float = 5.8,
+    sample_rate: int = 22000,
+    *,
+    seed: int = 0,
+    f0: float = 120.0,
+    syllables_per_second: float = 3.5,
+) -> np.ndarray:
+    """Formant-synthesized speech-like audio (float32 in [-1, 1]).
+
+    The reference ships a real 5.8 s speech clip (``assets/sample_audio.wav``)
+    that licensing bars this repo from redistributing; a pure tone exercises
+    none of the spectro-temporal structure the models key on. This classic
+    source-filter synthesizer is unencumbered and produces babble with real
+    speech statistics: a glottal pulse train (declining pitch contour,
+    per-period jitter, -12 dB/oct tilt) filtered through three time-varying
+    formant resonators that glide between vowel targets syllable to
+    syllable, with band-filtered noise bursts as onset consonants and
+    syllabic amplitude envelopes. Not intelligible — but MFCC/wav2vec2
+    front-ends see formant transitions, voicing alternation and plosive
+    bursts, like speech.
+    """
+    from scipy.signal import lfilter
+
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sample_rate)
+    sr = float(sample_rate)
+
+    # ---- syllable schedule ------------------------------------------------
+    # vowel formant targets (F1, F2, F3) in Hz: /a e i o u/
+    vowels = np.array(
+        [
+            [730.0, 1090.0, 2440.0],
+            [530.0, 1840.0, 2480.0],
+            [270.0, 2290.0, 3010.0],
+            [570.0, 840.0, 2410.0],
+            [300.0, 870.0, 2240.0],
+        ]
+    )
+    syl_len = int(sr / syllables_per_second)
+    n_syl = max(1, int(np.ceil(n / syl_len)))
+    targets = vowels[rng.integers(0, len(vowels), n_syl + 1)]
+
+    # 10 ms control frames: formants glide between syllable targets
+    hop = max(1, int(0.01 * sr))
+    n_ctl = n // hop + 2
+    t_ctl = np.arange(n_ctl) * hop / syl_len  # position in syllable units
+    i_syl = np.minimum(t_ctl.astype(int), n_syl - 1)
+    frac = np.clip((t_ctl - i_syl - 0.55) / 0.45, 0.0, 1.0)  # glide late
+    formants = (1 - frac[:, None]) * targets[i_syl] + frac[:, None] * targets[i_syl + 1]
+    bandwidths = np.array([90.0, 110.0, 170.0])
+
+    # ---- glottal source ----------------------------------------------------
+    # pitch declines over the utterance and wobbles per syllable, with jitter
+    t = np.arange(n) / sr
+    contour = f0 * (1.15 - 0.25 * t / seconds) * (
+        1.0 + 0.04 * np.sin(2 * np.pi * syllables_per_second * 0.5 * t)
+    )
+    contour = contour * (1.0 + 0.015 * rng.normal(size=n).cumsum() / np.sqrt(np.arange(1, n + 1)))
+    phase = np.cumsum(contour / sr)
+    pulses = np.diff(np.floor(phase), prepend=0.0).astype(np.float32)  # 1 per period
+    # -12 dB/oct spectral tilt (two one-pole lowpasses)
+    a_tilt = np.exp(-2 * np.pi * 900.0 / sr)
+    source = lfilter([1 - a_tilt], [1, -a_tilt], pulses)
+    source = lfilter([1 - a_tilt], [1, -a_tilt], source)
+    source += 0.003 * rng.normal(size=n)  # breath noise
+
+    # ---- time-varying formant cascade (per-frame biquads, carried state) ---
+    voiced = np.zeros(n, np.float32)
+    zi = [np.zeros(2) for _ in range(3)]
+    for ci in range(0, n, hop):
+        f = formants[ci // hop]
+        seg = source[ci : ci + hop]
+        for k in range(3):
+            r = np.exp(-np.pi * bandwidths[k] / sr)
+            th = 2 * np.pi * min(f[k], 0.45 * sr) / sr
+            b = [float((1 - r) * np.sqrt(1 - 2 * r * np.cos(2 * th) + r * r))]
+            a = [1.0, float(-2 * r * np.cos(th)), float(r * r)]
+            seg, zi[k] = lfilter(b, a, seg, zi=zi[k])
+        voiced[ci : ci + hop] = seg
+
+    # ---- syllabic envelope + consonant noise bursts ------------------------
+    pos = (np.arange(n) % syl_len) / syl_len
+    env = np.clip(np.sin(np.pi * np.clip((pos - 0.08) / 0.9, 0.0, 1.0)) ** 0.7, 0.0, 1.0)
+    # occasional unvoiced syllable endings (devoicing)
+    syl_gain = 0.75 + 0.25 * rng.random(n_syl)
+    env = env * syl_gain[np.minimum(np.arange(n) // syl_len, n_syl - 1)]
+    out = voiced * env
+
+    burst_len = int(0.05 * sr)
+    a_hp = np.exp(-2 * np.pi * 2500.0 / sr)
+    for s in range(n_syl):
+        start = s * syl_len
+        if start + burst_len >= n or rng.random() < 0.35:
+            continue  # vowel-initial syllable
+        noise = rng.normal(size=burst_len)
+        frica = noise - lfilter([1 - a_hp], [1, -a_hp], noise)  # high-pass
+        ramp = np.linspace(1.0, 0.0, burst_len) ** 2
+        out[start : start + burst_len] += 0.25 * frica * ramp
+
+    peak = np.max(np.abs(out)) or 1.0
+    return (0.5 * out / peak).astype(np.float32)
+
+
 def generate_synthetic_face_obj(path: str, n_verts: int = 5023) -> str:
     """Write a renderable OBJ with EXACTLY ``n_verts`` vertices.
 
@@ -190,8 +294,10 @@ def generate_demo_assets(
 ) -> dict:
     """Materialize the out-of-box demo inputs the reference ships but this
     repo cannot (FLAME license): a synthetic template OBJ, a matching vertex
-    animation ``verts_sample.npy`` (gentle jaw-like motion), and a tone
-    ``sample_audio.wav``. Idempotent — existing files are kept."""
+    animation ``verts_sample.npy`` (gentle jaw-like motion), and a
+    formant-synthesized speech-like ``sample_audio.wav`` at 22 kHz
+    (:func:`synthesize_speech_like` — same format as the reference's
+    licensed clip). Idempotent — existing files are kept."""
     from audio2face_tpu.utils.facemesh import FaceMesh
 
     os.makedirs(assets_dir, exist_ok=True)
@@ -210,8 +316,6 @@ def generate_demo_assets(
         import scipy.io.wavfile as wavfile
 
         sr = 22000
-        ts = np.arange(int(seconds * sr)) / sr
-        env = 0.4 + 0.3 * np.sin(2 * np.pi * 2.3 * ts)
-        wav = env * (np.sin(2 * np.pi * 140 * ts) + 0.3 * np.sin(2 * np.pi * 280 * ts))
-        wavfile.write(paths["audio"], sr, (wav * 16384).astype(np.int16))
+        wav = synthesize_speech_like(seconds, sr, seed=seed)
+        wavfile.write(paths["audio"], sr, (wav * 32767).astype(np.int16))
     return paths

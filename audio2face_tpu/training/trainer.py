@@ -434,6 +434,7 @@ class Audio2FaceExperiment:
         checkpoint: bool = True,
         profile_epoch: Optional[int] = None,
         resume: bool = False,
+        checkpoint_every_steps: Optional[int] = None,
     ) -> tuple[TrainState, FitResult]:
         """Fit loop. ``profile_epoch`` captures a jax.profiler trace of that
         epoch's first steps into {log_dir}/plugins/profile (view in
@@ -443,7 +444,15 @@ class Audio2FaceExperiment:
         ``resume=True`` continues mid-run from the newest checkpoint —
         optimizer state, step and epoch counter included — a capability the
         reference lacks (``fit(ckpt_path=...)`` unused, no optimizer-state
-        continuation; SURVEY §5)."""
+        continuation; SURVEY §5).
+
+        ``checkpoint_every_steps=N`` additionally saves a rolling
+        ``periodic-epoch=E-step=S`` checkpoint every N optimizer steps
+        (newest two kept) for preemption safety on shared TPU pools — with
+        it on, ``resume=True`` loses at most N steps. Periodic saves land
+        in the same directory, so "newest checkpoint" may then be a
+        mid-epoch state rather than the best-val one; the best checkpoint
+        is still written separately on every val improvement."""
         cfg = self.config
         max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         os.makedirs(self.log_dir, exist_ok=True)
@@ -467,6 +476,9 @@ class Audio2FaceExperiment:
         patience = cfg.early_stop_patience
         bad_epochs = 0
         history = []
+        # host-side mirror of state.step: periodic checkpointing must not
+        # add a per-step device fetch to decide when to save
+        steps_done = int(state.step)
 
         with open(metrics_path, "a") as logf:
             for epoch in range(start_epoch, max_epochs):
@@ -480,9 +492,15 @@ class Audio2FaceExperiment:
                 for batch in Prefetcher(datamodule.train_batches(np_rng)):
                     # the per-step stream folds in state.step inside the
                     # jitted step — one base key per fit, no host RNG ops
-                    with jax.profiler.StepTraceAnnotation("train", step_num=int(state.step)):
+                    with jax.profiler.StepTraceAnnotation("train", step_num=steps_done):
                         state, metrics = self.train_step(state, batch, rng)
                     n_steps += 1
+                    steps_done += 1
+                    if (
+                        checkpoint_every_steps
+                        and steps_done % checkpoint_every_steps == 0
+                    ):
+                        self.save_checkpoint(state, epoch, periodic=True)
                     if profiling and n_steps >= 5:
                         jax.tree.map(lambda x: x.block_until_ready(), metrics)
                         jax.profiler.stop_trace()
@@ -546,10 +564,18 @@ class Audio2FaceExperiment:
     def _ckpt_dir(self) -> str:
         return os.path.abspath(os.path.join(self.log_dir, "checkpoints"))
 
-    def save_checkpoint(self, state: TrainState, epoch: int) -> str:
+    def save_checkpoint(
+        self, state: TrainState, epoch: int, periodic: bool = False
+    ) -> str:
+        """``periodic=True`` marks a rolling preemption-safety save: the
+        name gains a ``periodic-`` prefix (step-sortable like the rest) and
+        only the newest two periodic saves are kept."""
         import orbax.checkpoint as ocp
 
-        path = os.path.join(self._ckpt_dir(), f"epoch={epoch}-step={int(state.step)}")
+        prefix = "periodic-" if periodic else ""
+        path = os.path.join(
+            self._ckpt_dir(), f"{prefix}epoch={epoch}-step={int(state.step)}"
+        )
         ckpt = {
             "params": state.params,
             # leaf list: optax NamedTuple structure is rebuilt from
@@ -561,6 +587,15 @@ class Audio2FaceExperiment:
         if state.batch_stats:
             ckpt["batch_stats"] = state.batch_stats
         ocp.PyTreeCheckpointer().save(path, jax.tree.map(np.asarray, ckpt), force=True)
+        if periodic:
+            import shutil
+
+            old = sorted(
+                (c for c in os.listdir(self._ckpt_dir()) if c.startswith("periodic-")),
+                key=lambda x: int(x.split("=")[-1]),
+            )
+            for name in old[:-2]:
+                shutil.rmtree(os.path.join(self._ckpt_dir(), name), ignore_errors=True)
         return path
 
     def load_checkpoint(self, path: Optional[str] = None, with_epoch: bool = False):

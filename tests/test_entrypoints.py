@@ -41,6 +41,30 @@ def test_generate_demo_assets(tmp_path):
     assert os.path.getmtime(paths["template"]) == before
 
 
+def test_speech_like_synthesis_has_speech_statistics():
+    """The demo clip is formant-synthesized babble, not a tone: frame-wise
+    spectral centroids must glide (formant transitions) and the RMS envelope
+    must modulate syllabically (voicing alternation)."""
+    from audio2face_tpu.data.synthetic import synthesize_speech_like
+
+    sr = 22000
+    w = synthesize_speech_like(2.0, sr, seed=0)
+    assert w.shape == (2 * sr,) and w.dtype == np.float32
+    assert np.isfinite(w).all() and 0.4 < np.abs(w).max() <= 0.5
+
+    hop = sr // 10
+    frames = w[: len(w) // hop * hop].reshape(-1, hop)
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    freqs = np.fft.rfftfreq(hop, 1 / sr)
+    centroid = (spec * freqs).sum(1) / np.maximum(spec.sum(1), 1e-9)
+    assert centroid.std() > 100.0  # a constant tone's centroid barely moves
+    rms = np.sqrt((frames**2).mean(1))
+    assert rms.max() > 4 * max(float(rms.min()), 1e-6)
+    # deterministic per seed, different across seeds
+    np.testing.assert_array_equal(w, synthesize_speech_like(2.0, sr, seed=0))
+    assert np.abs(w - synthesize_speech_like(2.0, sr, seed=1)).max() > 0.01
+
+
 def test_main_renders_from_fresh_dir(tmp_path):
     """`python main.py` in an empty cwd: generates assets, renders, writes
     the video — zero external files."""

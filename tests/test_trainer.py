@@ -83,6 +83,33 @@ def test_mid_run_resume(tiny_setup, tmp_path):
     assert int(state2.step) > step_after
 
 
+def test_periodic_checkpointing(tiny_setup, tmp_path):
+    """checkpoint_every_steps=N writes rolling preemption-safety saves: the
+    newest two periodic checkpoints are kept, they are step-sortable next to
+    the best-val saves, and resume picks up the newest (mid-epoch) state."""
+    import os
+
+    cfg, dm = tiny_setup
+    log_dir = str(tmp_path / "run")
+    exp = Audio2FaceExperiment(cfg, log_dir=log_dir)
+    state, _ = exp.fit(dm, max_epochs=2, checkpoint_every_steps=2)
+    ckpts = os.listdir(os.path.join(log_dir, "checkpoints"))
+    periodic = sorted(
+        (c for c in ckpts if c.startswith("periodic-")),
+        key=lambda x: int(x.split("=")[-1]),
+    )
+    assert len(periodic) == 2, ckpts  # rolling: older ones pruned
+    assert int(periodic[-1].split("=")[-1]) % 2 == 0
+    # a periodic save restores like any other checkpoint (params + opt + step)
+    restored = exp.load_checkpoint(
+        os.path.join(log_dir, "checkpoints", periodic[-1])
+    )
+    assert int(restored.step) == int(periodic[-1].split("=")[-1])
+    batch = dm.predict_batch("FaceTalk_170809_00138_TA", "sentence01")
+    p, _ = exp.predict(restored, batch)
+    assert np.isfinite(np.asarray(p)).all()
+
+
 def test_voca_checkpoint_roundtrip(tiny_setup, tmp_path):
     """VOCA has no batch norm — empty batch_stats must checkpoint cleanly."""
     cfg, dm = tiny_setup
