@@ -418,6 +418,66 @@ class Audio2FaceExperiment:
         batch = shard_batch(self.mesh, batch)
         return self._jit_cache[key](state, batch, self._fe_params)
 
+    def evaluate(
+        self,
+        state: TrainState,
+        datamodule,
+        regions=None,
+        sentences: Optional[list] = None,
+        max_sentences: Optional[int] = None,
+    ) -> dict:
+        """Domain evaluation over the test split: LVE / FDD / MVE / max-L2
+        (see ``evaluation.py`` — the metrics the field compares
+        speech-driven-animation models with; the reference only ever logs
+        its scalar MSE ``err``). Runs :meth:`predict` on each test
+        (subject, sentence), computes per-sentence metrics in dataset
+        units, and returns their means plus the mean ``err``.
+
+        ``regions=None`` derives the geometric stand-in masks from the
+        first sentence's template (``evaluation.infer_regions``); pass a
+        ``VertexRegions`` built from the licensed FLAME masks for numbers
+        comparable with published results. ``sentences`` restricts to an
+        explicit [(subject, sentence), ...] list.
+        """
+        from audio2face_tpu import evaluation as E
+
+        ds = datamodule.test_dataset
+        pairs = sentences or list(dict.fromkeys((r[0], r[1]) for r in ds.datalist))
+        if max_sentences is not None:
+            pairs = pairs[:max_sentences]
+        if not pairs:
+            raise ValueError("test split has no sentences to evaluate")
+
+        totals: dict[str, float] = {}
+        err_total = 0.0
+        for human, sentence in pairs:
+            batch = datamodule.predict_batch(human, sentence)
+            pred, err = self.predict(state, batch)
+            pred = np.asarray(pred)
+            gt = np.asarray(batch["verts"], np.float32)
+            template = np.asarray(batch["template_vert"], np.float32)
+            frame_mask = None
+            if pred.ndim == 4:  # clip mode: (1, T_pad, V, 3) + valid lengths
+                n_frames = pred.shape[1]
+                frame_mask = (
+                    np.arange(n_frames)[None, :]
+                    < np.asarray(batch["frame_lengths"])[:, None]
+                ).astype(np.float32)
+                gt = gt.reshape(pred.shape)
+                template = template[:, None]  # (1, 1, V, 3) broadcast over T
+            if regions is None:
+                tmpl0 = np.asarray(batch["template_vert"]).reshape(-1, pred.shape[-2], 3)[0]
+                regions = E.infer_regions(tmpl0)
+            m = E.evaluate_animation(pred, gt, template, regions, frame_mask=frame_mask)
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + v
+            err_total += float(err)
+
+        out = {k: v / len(pairs) for k, v in totals.items()}
+        out["err"] = err_total / len(pairs)
+        out["n_sentences"] = len(pairs)
+        return out
+
     def _batch_signature(self, batch: dict):
         return tuple(sorted((k, np.shape(v)) for k, v in batch.items()))
 

@@ -97,6 +97,22 @@ def main() -> None:
         pred = pred.reshape(-1, pred.shape[-2], 3)[:n_valid]
     print(f"predict_rec_loss: {float(err)}")
 
+    # domain metrics on the predicted sentence (LVE / FDD / MVE — see
+    # audio2face_tpu/evaluation.py; beyond the reference's single MSE print)
+    gt = np.asarray(batch["verts"], np.float32).reshape(-1, pred.shape[-2], 3)[
+        : pred.shape[0]
+    ]
+    template_vert = np.asarray(batch["template_vert"], np.float32).reshape(
+        -1, pred.shape[-2], 3
+    )[0]
+    from audio2face_tpu.evaluation import evaluate_animation
+
+    metrics = evaluate_animation(pred, gt, template_vert)
+    print(
+        "predict metrics: "
+        + " ".join(f"{k}={v:.6g}" for k, v in metrics.items())
+    )
+
     log_dir = experiment.log_dir
     np.save(os.path.join(log_dir, "pred_verts.npy"), pred)
     if not args.skip_render and os.path.exists(args.template):
