@@ -24,7 +24,11 @@ from audio2face_tpu.compat.wav2vec2_convert import convert_wav2vec2, strip_prefi
 FEATURE_DIM = 64
 
 
-def convert_faceformer(sd: Mapping[str, np.ndarray]) -> dict:
+def convert_faceformer(sd: Mapping[str, np.ndarray], dataset: str = "vocaset") -> dict:
+    """``dataset="biwi"`` additionally converts the cross-attention q/k
+    projections — live parameters under BIWI's 2-way alignment mask
+    (enc_dec_mask BIWI arm, faceformer.py:60-62), inert under vocaset's
+    diagonal."""
     d = FEATURE_DIM
     params: dict = {}
 
@@ -52,6 +56,11 @@ def convert_faceformer(sd: Mapping[str, np.ndarray]) -> dict:
     cross_b = sd[f"{layer}.multihead_attn.in_proj_bias"]
     params["cross_v_kernel"] = cross_w[2 * d : 3 * d].T
     params["cross_v_bias"] = cross_b[2 * d : 3 * d]
+    if dataset == "biwi":
+        params["cross_q_kernel"] = cross_w[0:d].T
+        params["cross_q_bias"] = cross_b[0:d]
+        params["cross_k_kernel"] = cross_w[d : 2 * d].T
+        params["cross_k_bias"] = cross_b[d : 2 * d]
     put_dense("cross_out", f"{layer}.multihead_attn.out_proj")
 
     put_dense("linear1", f"{layer}.linear1")

@@ -127,6 +127,11 @@ def export_faceformer(variables: Mapping) -> dict[str, np.ndarray]:
     cross_b = np.zeros((3 * d,), np.float32)
     cross_w[2 * d :] = _np(p["cross_v_kernel"]).T
     cross_b[2 * d :] = _np(p["cross_v_bias"])
+    if "cross_q_kernel" in p:  # biwi mode: live q/k projections round-trip
+        cross_w[:d] = _np(p["cross_q_kernel"]).T
+        cross_b[:d] = _np(p["cross_q_bias"])
+        cross_w[d : 2 * d] = _np(p["cross_k_kernel"]).T
+        cross_b[d : 2 * d] = _np(p["cross_k_bias"])
     out[f"{layer}.multihead_attn.in_proj_weight"] = cross_w
     out[f"{layer}.multihead_attn.in_proj_bias"] = cross_b
     _linear(out, f"{layer}.multihead_attn.out_proj", {"kernel": p["cross_out_kernel"], "bias": p["cross_out_bias"]})

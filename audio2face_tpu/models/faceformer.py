@@ -84,21 +84,23 @@ def normalize_waveform(
     return (audio - mean) / jnp.sqrt(var + 1e-7) * valid
 
 
-def frame_count(n_samples):
-    """frame_num = samples * 60 // 16000 (reference: faceformer.py:141).
+def frame_count(n_samples, fps: int = FPS):
+    """frame_num = samples * fps // 16000 (reference: faceformer.py:141,
+    fps=60 for VOCASET; BIWI animates at 25 fps).
 
     Accepts python ints or integer arrays. Evaluated as
-    ``q*FPS + r*FPS//SR`` (exact for non-negative inputs: n = q*SR + r ⇒
-    n*FPS//SR = q*FPS + (r*FPS)//SR) so int32 sample-count ARRAYS cannot
+    ``q*fps + r*fps//SR`` (exact for non-negative inputs: n = q*SR + r ⇒
+    n*fps//SR = q*fps + (r*fps)//SR) so int32 sample-count ARRAYS cannot
     overflow — ``n*60`` wraps at only ~37 minutes of audio, and
     sequence-parallel serving exists precisely for longer clips (x64 is
     off, so the naive expression would wrap silently)."""
     q, r = n_samples // AUDIO_SR, n_samples % AUDIO_SR
-    return q * FPS + r * FPS // AUDIO_SR
+    return q * fps + r * fps // AUDIO_SR
 
 
 def select_decode_impl(
-    decode_impl: Optional[str], *, train: bool, backend: str, batch: int, n_frames: int
+    decode_impl: Optional[str], *, train: bool, backend: str, batch: int,
+    n_frames: int, dataset: str = "vocaset",
 ) -> str:
     """Pick the decode implementation for a (batch, frames) trace.
 
@@ -109,8 +111,17 @@ def select_decode_impl(
     past ~2.3 min, single-stream past ~9 min) fall back to the scan, which
     is correct at any length. An EXPLICIT decode_impl="fused" is honored
     as requested; the kernel raises a capacity ValueError at trace time
-    rather than dying in a Mosaic OOM."""
+    rather than dying in a Mosaic OOM. BIWI mode always scans: its cross
+    attention is a true 2-way softmax per step, which the fused kernel's
+    hoisted weight-1 cross term cannot express."""
     if train:
+        return "scan"
+    if dataset != "vocaset":
+        if decode_impl == "fused":
+            raise ValueError(
+                f"decode_impl='fused' supports only dataset='vocaset' "
+                f"(diagonal cross attention); got dataset={dataset!r}"
+            )
         return "scan"
     if decode_impl is None:
         from audio2face_tpu.ops.decode_kernel import fits_vmem
@@ -128,6 +139,20 @@ class FaceFormer(nn.Module):
     # on TPU — the whole decode loop runs in one kernel with VMEM-resident
     # KV caches; training always uses the differentiable scan)
     decode_impl: Optional[str] = None
+    # "vocaset" (reference main path, hardcoded at faceformer.py:101) or
+    # "biwi" — the reference's OTHER alignment mode, dead code behind its
+    # hardcoded dataset string but present in both branches it vendored
+    # (enc_dec_mask BIWI arm, faceformer.py:60-62: mesh frame t
+    # cross-attends audio latents {2t, 2t+1} with a true 2-way softmax —
+    # 25 fps video against 50 fps features, no interpolation — and the
+    # wav2vec trim branch, wav2vec.py:119-124). BIWI mode adds cross_q /
+    # cross_k parameters (the vocaset diagonal makes them mathematically
+    # inert, so vocaset checkpoints omit them), runs frames at 25 fps, and
+    # always decodes on the scan path.
+    dataset: str = "vocaset"
+    # PPE / ALiBi bucket period (reference hardcodes 60, faceformer.py:102;
+    # the upstream FaceFormer uses 25 for BIWI)
+    period: int = PERIOD
 
     def _dense_params(self, name: str, d_in: int, d_out: int, *, bias: bool = True, zeros: bool = False):
         init_k = nn.initializers.zeros if zeros else nn.initializers.lecun_normal()
@@ -165,13 +190,15 @@ class FaceFormer(nn.Module):
         per time-chunk outside the model (serving.py) while everything
         upstream stays one compiled program."""
         d = FEATURE_DIM
+        biwi = self.dataset == "biwi"
+        fps = 25 if biwi else FPS
         bsz, n_samples = audio.shape
-        n_frames = frame_count(n_samples)
+        n_frames = frame_count(n_samples, fps)
 
         # ---- encoder ----------------------------------------------------
         # Wav2Vec2Processor normalization stays on-chip (reference does a
         # host numpy round-trip, faceformer.py:142-144)
-        frame_lengths = None if lengths is None else frame_count(lengths)
+        frame_lengths = None if lengths is None else frame_count(lengths, fps)
         if encoder_hidden is not None:
             # externally-computed hidden states (sequence-parallel serving:
             # parallel/sequence.py time-shards the encoder over the mesh;
@@ -181,9 +208,19 @@ class FaceFormer(nn.Module):
             norm_audio = normalize_waveform(audio, lengths)
             hidden = Wav2Vec2Encoder(Wav2Vec2Config(), dtype=self.dtype, name="audio_encoder")(
                 norm_audio, output_len=n_frames, lengths=lengths,
-                output_lengths=frame_lengths,
+                output_lengths=None if biwi else frame_lengths,
+                dataset=self.dataset,
                 train=train, apply_spec_augment=train, use_pallas=use_pallas,
-            )  # (B, T, 768)
+            )  # (B, T, 768) — biwi: (B, <=2T, 768), 50 fps latents untouched
+        if biwi and hidden.shape[1] != 2 * n_frames:
+            # static-shape completion of the reference trim branch: the
+            # 2-way alignment needs exactly 2 latents per frame. Short
+            # encodes zero-pad at the end (the torch original would build a
+            # fully-masked cross row there and NaN — not reproduced).
+            pad = 2 * n_frames - hidden.shape[1]
+            hidden = jnp.pad(hidden, ((0, 0), (0, max(pad, 0)), (0, 0)))[
+                :, : 2 * n_frames
+            ]
 
         prec = dot_precision(self.dtype)
 
@@ -219,9 +256,33 @@ class FaceFormer(nn.Module):
             var = jnp.var(x32, axis=-1, keepdims=True)
             return ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias).astype(x.dtype)
 
-        # cross attention hoisted out of the scan: diagonal mask => weight-1
-        # softmax over memory[t] only (see module docstring)
-        cross = (mm(mm(memory, cv_k) + cv_b, co_k) + co_b).astype(compute_dtype)  # (B, T, 64)
+        hd = d // N_HEADS
+        if biwi:
+            # true 2-way cross softmax (enc_dec_mask BIWI arm,
+            # faceformer.py:60-62): q/k projections are live parameters.
+            # K/V over the whole memory are precomputed outside the scan;
+            # each step gathers latent rows {2t, 2t+1}.
+            cq_k, cq_b = self._dense_params("cross_q", d, d)
+            ck_k, ck_b = self._dense_params("cross_k", d, d)
+            cq_k, cq_b = cq_k.astype(compute_dtype), cq_b.astype(compute_dtype)
+            mem_k = (
+                (mm(memory, ck_k) + ck_b)
+                .reshape(bsz, -1, N_HEADS, hd)
+                .transpose(0, 2, 1, 3)
+                .astype(compute_dtype)
+            )  # (B, H, S, hd)
+            mem_v = (
+                (mm(memory, cv_k) + cv_b)
+                .reshape(bsz, -1, N_HEADS, hd)
+                .transpose(0, 2, 1, 3)
+                .astype(compute_dtype)
+            )
+            co_kc, co_bc = co_k.astype(compute_dtype), co_b.astype(compute_dtype)
+            cross = None
+        else:
+            # cross attention hoisted out of the scan: diagonal mask =>
+            # weight-1 softmax over memory[t] only (see module docstring)
+            cross = (mm(mm(memory, cv_k) + cv_b, co_k) + co_b).astype(compute_dtype)  # (B, T, 64)
 
         # composed 64x64 feedback: vertice_map(vertice_map_r(h)) =
         # h @ (Wr @ Wm) + (br @ Wm + bm)
@@ -235,14 +296,15 @@ class FaceFormer(nn.Module):
         )
 
         style = mm(one_hot, obj_k).astype(compute_dtype)  # (B, 64)
-        pe = jnp.asarray(periodic_positional_encoding(), dtype=compute_dtype)
+        pe = jnp.asarray(
+            periodic_positional_encoding(self.period), dtype=compute_dtype
+        )
 
-        hd = d // N_HEADS
         cache_shape = (bsz, N_HEADS, n_frames, hd)
 
         decode_impl = select_decode_impl(
             self.decode_impl, train=train, backend=jax.default_backend(),
-            batch=bsz, n_frames=n_frames,
+            batch=bsz, n_frames=n_frames, dataset=self.dataset,
         )
         if decode_impl == "fused" and not train:
             from audio2face_tpu.ops.decode_kernel import faceformer_decode_loop
@@ -261,7 +323,7 @@ class FaceFormer(nn.Module):
                     "ln2_scale": ln2[0], "ln2_bias": ln2[1],
                     "ln3_scale": ln3[0], "ln3_bias": ln3[1],
                 },
-                period=PERIOD,
+                period=self.period,
                 fast_math=self.dtype is not None,
             )
             if return_hidden:
@@ -277,7 +339,7 @@ class FaceFormer(nn.Module):
         def step(carry, xt):
             emb, k_cache, v_cache = carry
             t, step_rng = xt
-            x = emb + pe[t % PERIOD]  # (B, 64)
+            x = emb + pe[t % self.period]  # (B, 64)
             if train:
                 r = jax.random.split(step_rng, 5)
                 x = drop(r[0], x)  # PPE dropout (faceformer.py:72,86-88)
@@ -288,13 +350,27 @@ class FaceFormer(nn.Module):
             k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k, t, axis=2)
             v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v, t, axis=2)
 
-            attn = decode_step_attention(q, k_cache, v_cache, t, alibi_period=PERIOD)
+            attn = decode_step_attention(q, k_cache, v_cache, t, alibi_period=self.period)
             sa = mm(attn.reshape(bsz, d), o_k) + o_b
             if train:
                 sa = drop(r[1], sa)  # torch decoder-layer dropout1
             h = layer_norm(x + sa, ln1)
-            # cross term is indexed from the precomputed projection
-            ca = jax.lax.dynamic_index_in_dim(cross, t, axis=1, keepdims=False)
+            if biwi:
+                # 2-way cross softmax over latents {2t, 2t+1}
+                qc = (mm(h, cq_k) + cq_b).reshape(bsz, N_HEADS, 1, hd)
+                k2 = jax.lax.dynamic_slice_in_dim(mem_k, 2 * t, 2, axis=2)
+                v2 = jax.lax.dynamic_slice_in_dim(mem_v, 2 * t, 2, axis=2)
+                scores = jnp.einsum(
+                    "bhqe,bhke->bhqk", qc, k2, precision=prec
+                ) / math.sqrt(hd)
+                w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+                    qc.dtype
+                )
+                ca_h = jnp.einsum("bhqk,bhke->bhqe", w, v2, precision=prec)
+                ca = mm(ca_h.reshape(bsz, d), co_kc) + co_bc
+            else:
+                # cross term is indexed from the precomputed projection
+                ca = jax.lax.dynamic_index_in_dim(cross, t, axis=1, keepdims=False)
             if train:
                 ca = drop(r[2], ca)  # dropout2
             h = layer_norm(h + ca, ln2)

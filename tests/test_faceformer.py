@@ -164,3 +164,56 @@ def test_faceformer_train_grad():
     # the decoder weights must receive gradient
     assert float(jnp.abs(g["dec_q_kernel"]).sum()) > 0
     assert float(jnp.abs(g["audio_feature_map_kernel"]).sum()) > 0
+
+
+def test_faceformer_biwi_mode_parity():
+    """dataset="biwi": the reference's OTHER alignment mode (dead code behind
+    its hardcoded "vocaset", but present in both vendored branches) — 25 fps
+    frames, untouched 50 fps latents (trim branch, wav2vec.py:119-124), and a
+    TRUE 2-way cross softmax over latents {2t, 2t+1} (enc_dec_mask BIWI arm,
+    faceformer.py:60-62) with live cross q/k projections. Must match the
+    torch naive-recompute oracle after checkpoint conversion."""
+    from tests.torch_mirrors import TorchFaceFormer
+
+    torch.manual_seed(1)
+    oracle = TorchFaceFormer(N_VERTS, N_ONEHOT, dataset="BIWI", period=25)
+    with torch.no_grad():
+        for lin in (oracle.vertice_map, oracle.vertice_map_r):
+            lin.weight.normal_(0, 0.02)
+            lin.bias.normal_(0, 0.02)
+    oracle.eval()
+    variables = jax.tree.map(
+        jnp.asarray,
+        convert_faceformer(state_dict_to_numpy(oracle), dataset="biwi"),
+    )
+    model = FaceFormer(n_verts=N_VERTS, n_onehot=N_ONEHOT, dataset="biwi", period=25)
+
+    rng = np.random.default_rng(3)
+    audio = (rng.normal(size=(1, 8000)) * 0.1).astype(np.float32)  # 12 frames, 24 latents
+    one_hot = np.zeros((1, N_ONEHOT), np.float32)
+    one_hot[0, 7] = 1.0
+    template = rng.normal(size=(1, N_VERTS // 3, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = oracle(
+            torch.as_tensor(audio), torch.as_tensor(one_hot), torch.as_tensor(template)
+        ).numpy()
+    ours = np.asarray(
+        model.apply(variables, jnp.asarray(audio), jnp.asarray(one_hot), jnp.asarray(template))
+    )
+    assert ours.shape == ref.shape == (1, 12, 5023, 3)
+    err = np.abs(ours - ref).max()
+    assert err < 1e-4, f"max vertex err {err}"
+
+
+def test_biwi_mode_refuses_fused_decode():
+    model = FaceFormer(n_verts=300, n_onehot=N_ONEHOT, dataset="biwi", decode_impl="fused")
+    rng = np.random.default_rng(4)
+    audio = (rng.normal(size=(1, 4000)) * 0.1).astype(np.float32)
+    one_hot = np.eye(N_ONEHOT, dtype=np.float32)[:1]
+    template = np.zeros((1, 100, 3), np.float32)
+    with pytest.raises(ValueError, match="vocaset"):
+        model.init(
+            jax.random.PRNGKey(0), jnp.asarray(audio), jnp.asarray(one_hot),
+            jnp.asarray(template),
+        )

@@ -92,13 +92,21 @@ class TorchFaceFormer(nn.Module):
     cross mask. Deliberately the O(T^2)-recompute formulation — the Flax scan
     must match it exactly."""
 
-    def __init__(self, n_verts: int, n_onehot: int, max_seq_len: int = 600):
+    def __init__(
+        self,
+        n_verts: int,
+        n_onehot: int,
+        max_seq_len: int = 600,
+        dataset: str = "vocaset",
+        period: int = 60,
+    ):
         super().__init__()
         from transformers import Wav2Vec2Config as HFConfig
         from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model as HFModel
 
         self.feature_dim = 64
-        self.period = 60
+        self.period = period
+        self.dataset = dataset  # "vocaset" | "BIWI" (reference spelling)
         self.vertice_dim = n_verts
         self.audio_encoder = HFModel(HFConfig(do_stable_layer_norm=False, feat_extract_norm="group"))
         self.audio_feature_map = nn.Linear(768, 64)
@@ -138,7 +146,8 @@ class TorchFaceFormer(nn.Module):
         return x + table.unsqueeze(0)
 
     def forward(self, audio, one_hot, template):
-        frame_num = audio.shape[1] * 60 // 16000
+        fps = 25 if self.dataset == "BIWI" else 60
+        frame_num = audio.shape[1] * fps // 16000
         # processor zero-mean unit-var normalization
         audio = (audio - audio.mean(dim=1, keepdim=True)) / torch.sqrt(
             audio.var(dim=1, unbiased=False, keepdim=True) + 1e-7
@@ -146,9 +155,16 @@ class TorchFaceFormer(nn.Module):
         template = template.reshape(1, 1, -1)
 
         h = self.audio_encoder.feature_extractor(audio).transpose(1, 2)
-        h = nn.functional.interpolate(
-            h.transpose(1, 2), size=frame_num, align_corners=True, mode="linear"
-        ).transpose(1, 2)
+        if self.dataset == "BIWI":
+            # reference trim branch (src/model/wav2vec.py:119-124)
+            if h.shape[1] % 2 != 0:
+                h = h[:, :-1]
+            if h.shape[1] > frame_num * 2:
+                h = h[:, : frame_num * 2]
+        else:
+            h = nn.functional.interpolate(
+                h.transpose(1, 2), size=frame_num, align_corners=True, mode="linear"
+            ).transpose(1, 2)
         h, _ = self.audio_encoder.feature_projection(h)
         hidden_states = self.audio_encoder.encoder(h).last_hidden_state
         hidden_states = self.audio_feature_map(hidden_states)
@@ -165,7 +181,11 @@ class TorchFaceFormer(nn.Module):
             tgt_mask = self.biased_mask[:, :t, :t]
             memory_mask = torch.ones(t, hidden_states.shape[1], dtype=torch.bool)
             for r in range(t):
-                memory_mask[r, r] = False
+                if self.dataset == "BIWI":
+                    # enc_dec_mask BIWI arm (faceformer.py:60-62)
+                    memory_mask[r, 2 * r : 2 * r + 2] = False
+                else:
+                    memory_mask[r, r] = False
             out = self.transformer_decoder(
                 vertice_input, hidden_states, tgt_mask=tgt_mask, memory_mask=memory_mask
             )
