@@ -428,9 +428,17 @@ class ClipVocaSet:
             clips.append((human_id, wav16, v))
 
         max_s = max(len(c[1]) for c in clips)
-        max_f = max(len(c[2]) for c in clips)
         s_bucket = audio_bucket or _round_up(max_s, 1600)
-        f_bucket = frame_bucket or _round_up(max_f, 6)
+        # the model's frame axis is STATIC from the padded audio width
+        # (frame_count(s_bucket)); the vertex bucket must equal it exactly —
+        # deriving it from the data's frame count instead diverges for clips
+        # a few samples past a 1600-sample grain boundary (e.g. 12,801
+        # samples -> audio bucket 14,400 -> 54 model frames vs a 48-frame
+        # vertex bucket) and the loss reshape crashes. Vertex rows beyond
+        # the audio's frame clock are untrainable in this model family and
+        # are truncated (the reference's whole-clip mode also frames by
+        # audio, faceformer.py:141).
+        f_bucket = frame_bucket or s_bucket * FPS // 16000
 
         n = len(clips)
         nv = clips[0][2].shape[1]

@@ -109,3 +109,25 @@ def test_predict_batch_frame_order(data_dir):
     batch = dm.predict_batch(subj, "sentence01")
     assert batch["audio"].shape[0] > 0
     assert (batch["one_hot"][:, ALL_SUBJECTS.index(subj)] == 1).all()
+
+
+def test_clip_bucket_matches_model_frame_clock(tmp_path):
+    """Regression: the vertex bucket must equal frame_count(audio_bucket) —
+    clips a few samples past the 1600-sample grain used to produce a 54-frame
+    model output against a 48-frame vertex bucket (loss reshape crash).
+    17,601 samples @22 kHz resample to 12,801 @16 kHz, one past the grain."""
+    from audio2face_tpu.data.synthetic import generate_synthetic_vocaset
+
+    d = str(tmp_path / "oddlen")
+    generate_synthetic_vocaset(
+        d, n_verts=60, sentences_per_subject=1, seconds_per_sentence=17601 / 22000
+    )
+    dm = VocaDataModule(d, batch_size=2, split_frame=False)
+    dm.setup()
+    batch = next(iter(dm.train_batches(np.random.default_rng(0))))
+    s_bucket = batch["audio"].shape[1]
+    assert s_bucket * 60 // 16000 == batch["verts"].shape[1]
+    # per-item masks still consistent with the model's frame clock
+    np.testing.assert_array_equal(
+        batch["audio_lengths"] * 60 // 16000, batch["frame_lengths"]
+    )
