@@ -66,6 +66,11 @@ class ExpConfig(BaseModel):
     # (GSPMD all-gathers weights at use, reduce-scatters grads); composes
     # with tensor parallelism. See parallel/fsdp.py.
     fsdp: bool = False
+    # dataset family: "vocaset" (reference main path) or "biwi" (the
+    # reference's dead-but-present alignment mode, implemented for real:
+    # FaceFormer runs 25 fps frames with 2-way cross attention and live
+    # cross q/k params; pair with data/biwi.py's BiwiDataModule)
+    dataset: str = "vocaset"
 
     @model_validator(mode="before")
     @classmethod

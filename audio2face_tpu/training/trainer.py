@@ -138,8 +138,19 @@ class Audio2FaceExperiment:
 
         dtype = jnp.bfloat16 if config.bf16_compute else None
         model_cls = get_model(config.modelname)
+        model_kwargs: dict = {}
+        if config.dataset != "vocaset":
+            if not self.is_faceformer:
+                raise ValueError(
+                    f"dataset={config.dataset!r} is only supported by the "
+                    "faceformer model family"
+                )
+            # BIWI animates at 25 fps; the upstream FaceFormer uses the
+            # frame rate as the PPE/ALiBi period on both datasets
+            model_kwargs = {"dataset": config.dataset, "period": 25}
         self.model = model_cls(
-            n_verts=config.vertex_count, n_onehot=config.one_hot_size, dtype=dtype
+            n_verts=config.vertex_count, n_onehot=config.one_hot_size, dtype=dtype,
+            **model_kwargs,
         )
         fe_factory = get_extractor(config.feature_extractor)
         self.feature_extractor = fe_factory(
