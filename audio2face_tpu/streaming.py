@@ -271,7 +271,12 @@ class StreamingFaceFormerPredictor:
         one_hot, template = self._style_ctx
         style = one_hot @ self.params["obj_vector_kernel"]
         if self._emb is None:
-            self._emb = style.astype(jnp.float32)
+            # MUST be a fresh buffer: ``astype`` to the same dtype is a
+            # no-op returning the same array, and the first decode call
+            # would then pass one buffer BOTH as the donated emb0 and as
+            # the live style argument — donated-alias reads poison the
+            # program on TPU (InvalidArgument at the next D2H fetch)
+            self._emb = jnp.array(style, dtype=jnp.float32, copy=True)
 
         n_new = keep_to - keep_from
         dkey = ("dec", n_new)

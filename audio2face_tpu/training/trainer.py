@@ -139,6 +139,10 @@ class Audio2FaceExperiment:
         dtype = jnp.bfloat16 if config.bf16_compute else None
         model_cls = get_model(config.modelname)
         model_kwargs: dict = {}
+        if config.dataset not in ("vocaset", "biwi"):
+            raise ValueError(
+                f"unknown dataset {config.dataset!r}; available: vocaset, biwi"
+            )
         if config.dataset != "vocaset":
             if not self.is_faceformer:
                 raise ValueError(

@@ -419,16 +419,8 @@ def bench_multistream(n_streams: int = 8, chunk_s: float = 1.0):
     n_valid = jnp.full((n_streams,), pool.chunk_frames, jnp.int32)
     enc, dec = pool._encode_fn(), pool._decode_fn()
 
-    def call():
-        cross = enc(pool.params, norm)
-        _, _, _, verts = dec(
-            pool.params, cross, pool._styles, pool._templates, pool._emb,
-            pool._k_cache, pool._v_cache, t0, n_valid,
-        )
-        return verts
-
-    wall = timed(call, n=10)
-    ms = wall * 1e3
+    # analytic flops BEFORE the timing loop: dec donates its cache args, so
+    # lowering must see live buffers
     flops = None
     try:
         cross = enc(pool.params, norm)
@@ -440,6 +432,25 @@ def bench_multistream(n_streams: int = 8, chunk_s: float = 1.0):
         flops = (fe or 0) + (fd or 0) or None
     except Exception:
         pass
+
+    # dec DONATES (emb, k_cache, v_cache): each call consumes the previous
+    # buffers, so the timing loop must rebind them from the outputs exactly
+    # like the pool's pump() does — re-passing donated arrays poisons the
+    # program (InvalidArgument at the next fetch)
+    state = [pool._emb, pool._k_cache, pool._v_cache]
+
+    def call():
+        cross = enc(pool.params, norm)
+        emb, kc, vc, verts = dec(
+            pool.params, cross, pool._styles, pool._templates,
+            state[0], state[1], state[2], t0, n_valid,
+        )
+        state[0], state[1], state[2] = emb, kc, vc
+        return verts
+
+    wall = timed(call, n=10)
+    ms = wall * 1e3
+    pool._emb, pool._k_cache, pool._v_cache = state
     detail = {
         "streams": n_streams,
         "chunk_seconds": chunk_s,
