@@ -42,4 +42,12 @@ def __getattr__(name):
         from audio2face_tpu.serving_queue import BatchingServer
 
         return BatchingServer
+    if name in ("VertexRegions", "evaluate_animation", "infer_regions"):
+        from audio2face_tpu import evaluation
+
+        return getattr(evaluation, name)
+    if name == "BiwiDataModule":
+        from audio2face_tpu.data.biwi import BiwiDataModule
+
+        return BiwiDataModule
     raise AttributeError(name)
