@@ -133,3 +133,30 @@ def test_infer_frame_model_smoke(tmp_path):
         )
         verts = np.load(out_dir / "sample_audio_verts.npy")
         assert verts.shape == (24, 523, 3), (extra, verts.shape, proc.stdout)
+
+
+def test_packaging_console_entry_points():
+    """pyproject console scripts resolve: each a2f-* target module exposes a
+    zero-arg main(), and the repo-root shims delegate to the same functions
+    (the wheel install path and the reference-style `python train.py` path
+    share one implementation)."""
+    import importlib
+    import tomllib
+
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert set(scripts) == {"a2f-train", "a2f-infer", "a2f-render", "a2f-render-frames"}
+    for target in scripts.values():
+        mod_name, func = target.split(":")
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, func))
+
+    for shim, cli_mod in [
+        ("train.py", "audio2face_tpu.cli.train"),
+        ("main.py", "audio2face_tpu.cli.render_offline"),
+        ("render.py", "audio2face_tpu.cli.render_frames"),
+        ("infer.py", "audio2face_tpu.cli.infer"),
+    ]:
+        with open(os.path.join(REPO, shim)) as f:
+            src = f.read()
+        assert f"from {cli_mod} import main" in src, shim
