@@ -62,6 +62,26 @@ def _fit_max_batch(max_batch: int, n_data: int) -> int:
     return new
 
 
+def _pad_batch(b: int, max_batch: int, n_data: int = 1) -> int:
+    """Bucket a request group's batch size onto a power-of-two grid (capped
+    at ``max_batch``, rounded up to a whole multiple of the mesh data axis).
+
+    Without this, every distinct group size jit-compiles its own program —
+    a 3-clip request after a warmed {1, max_batch} deployment still stalls
+    minutes on Mosaic. With it, at most log2(max_batch)+1 batch shapes exist
+    per audio bucket, so ``warmup()`` can enumerate them all."""
+    p = 1
+    while p < b:
+        p *= 2
+    p = max(min(p, max_batch), b)
+    return _round_up(p, n_data)
+
+
+def _reachable_batches(max_batch: int, n_data: int = 1) -> list[int]:
+    """Every padded batch size ``_pad_batch`` can produce for this config."""
+    return sorted({_pad_batch(b, max_batch, n_data) for b in range(1, max_batch + 1)})
+
+
 class FaceFormerPredictor:
     """Batched speech -> vertex-animation inference for FaceFormer."""
 
@@ -287,12 +307,13 @@ class FaceFormerPredictor:
             max_len = max(len(a) for a in group)
             samples = _round_up(max(max_len, self.bucket_samples), self.bucket_samples)
             b = len(group)
-            b_pad = b
-            if self.mesh is not None:
-                b_pad = _round_up(b, self.mesh.shape["data"])
+            b_pad = _pad_batch(
+                b, self.max_batch,
+                self.mesh.shape["data"] if self.mesh is not None else 1,
+            )
             audio_pad = np.zeros((b_pad, samples), np.float32)
-            # dummy rows (mesh padding) get a short valid length — 800
-            # samples decode 3 frames each, whose outputs are discarded
+            # dummy rows (batch-grid/mesh padding) get a short valid length —
+            # 800 samples decode 3 frames each, whose outputs are discarded
             # below (mask-based n_valid only covers real rows)
             lengths = np.full((b_pad,), min(800, samples), np.int32)
             oh = np.zeros((b_pad, one_hot.shape[1]), one_hot.dtype)
@@ -314,6 +335,34 @@ class FaceFormerPredictor:
             n_valid = np.asarray(mask).sum(axis=1).astype(int)
             self._emit_vertices(hs, tmpl_dev, idx, n_valid, results)
         return results  # type: ignore[return-value]
+
+    def warmup(self, max_seconds: float = 60.0, *, batches: Optional[Sequence[int]] = None) -> int:
+        """Precompile (and persistently cache) every (batch, bucket) decode
+        program a deployment will hit, so no live request ever waits on a
+        compile — Mosaic kernels take minutes per new shape on a cold cache.
+
+        Covers every audio bucket up to ``max_seconds`` for each batch size
+        in ``batches`` (default: every padded batch ``__call__``'s
+        power-of-two batch grid can produce — complete coverage; pass e.g.
+        ``batches=[self.max_batch]`` to trade coverage for warmup time).
+        Runs each program once on zero audio, which also exercises the
+        chunked vertex head. Returns the number of warm calls made.
+        """
+        if batches is None:
+            batches = _reachable_batches(
+                self.max_batch,
+                self.mesh.shape["data"] if self.mesh is not None else 1,
+            )
+        n_buckets = max(1, -(-int(max_seconds * AUDIO_SR) // self.bucket_samples))
+        template = np.zeros((self.n_verts // 3, 3), np.float32)
+        calls = 0
+        for b in batches:
+            for k in range(1, n_buckets + 1):
+                audios = [np.zeros(k * self.bucket_samples, np.float32)] * b
+                one_hot = np.zeros((b, self.n_onehot), np.float32)
+                self(audios, one_hot, template)
+                calls += 1
+        return calls
 
     def realtime_factor(self, seconds: float = 60.0, batch: Optional[int] = None) -> float:
         """Measured decode throughput in multiples of real time."""
@@ -503,6 +552,28 @@ class FramePredictor:
 
         return jax.device_put(x, NamedSharding(self.mesh, P("data")))
 
+    def warmup(self, max_seconds: float = 60.0, *, batches: Optional[Sequence[int]] = None) -> int:
+        """Precompile (and persistently cache) every (batch, bucket) frame
+        program a deployment will hit — same contract as
+        ``FaceFormerPredictor.warmup``. One program per audio bucket covers
+        any clip length (the frame chunk offset is traced), so this is cheap:
+        len(batches) x ceil(max_seconds / bucket_seconds) compiles."""
+        if batches is None:
+            batches = _reachable_batches(
+                self.max_batch,
+                self.mesh.shape["data"] if self.mesh is not None else 1,
+            )
+        n_buckets = max(1, -(-int(max_seconds * self.sample_rate) // self.bucket_samples))
+        template = np.zeros((self.n_verts // 3, 3), np.float32)
+        calls = 0
+        for b in batches:
+            for k in range(1, n_buckets + 1):
+                audios = [np.zeros(k * self.bucket_samples, np.float32)] * b
+                one_hot = np.zeros((b, self.n_onehot), np.float32)
+                self(audios, one_hot, template)
+                calls += 1
+        return calls
+
     def __call__(
         self,
         audios: Sequence[np.ndarray],
@@ -540,9 +611,10 @@ class FramePredictor:
             max_len = max(len(a) for a in group)
             samples = _round_up(max(max_len, self.bucket_samples), self.bucket_samples)
             b = len(group)
-            b_pad = b
-            if self.mesh is not None:
-                b_pad = _round_up(b, self.mesh.shape["data"])
+            b_pad = _pad_batch(
+                b, self.max_batch,
+                self.mesh.shape["data"] if self.mesh is not None else 1,
+            )
             audio_pad = np.zeros((b_pad, samples), np.float32)
             for j, a in enumerate(group):
                 audio_pad[j, : len(a)] = a

@@ -183,3 +183,26 @@ def test_resampling_and_validation():
         pred([a16], np.eye(12, dtype=np.float32)[[0, 1]], template)
     with pytest.raises(ValueError, match="faceformer"):
         FramePredictor(_cfg("faceformer", split_frame=False, batch_size=1))
+
+
+def test_warmup_precompiles_all_buckets(predictor):
+    """FramePredictor.warmup covers every (batch, bucket) program: serving
+    any clip <= max_seconds afterwards adds no new compiled programs."""
+    calls = predictor.warmup(1.0)
+    assert calls > 0
+    keys_after_warmup = set(predictor._fns)
+
+    rng = np.random.default_rng(11)
+    sr = predictor.sample_rate
+    audios = [
+        (rng.normal(size=int(s * sr)) * 0.1).astype(np.float32)
+        for s in (0.2, 0.7, 1.0)
+    ]
+    one_hot = np.eye(predictor.n_onehot, dtype=np.float32)[[0, 1, 2]]
+    template = rng.normal(size=(predictor.n_verts // 3, 3)).astype(np.float32)
+    out = predictor(audios, one_hot, template)
+    assert set(predictor._fns) == keys_after_warmup, (
+        "serving compiled a new program after warmup"
+    )
+    for a, v in zip(audios, out):
+        assert v.shape[0] == len(a) * 60 // sr

@@ -403,3 +403,26 @@ def test_queue_failing_batch_does_not_wedge_dispatcher():
     for tag, f in futs.items():
         assert f.result(timeout=30)[0, 0, 0] == float(tag)
     server.close()
+
+
+def test_warmup_precompiles_all_buckets(predictor):
+    """warmup(max_seconds) compiles every (batch, bucket) program up front:
+    afterwards, serving any clip <= max_seconds adds NO new decode programs
+    (first-request latency is bounded by execution, not Mosaic compiles)."""
+    calls = predictor.warmup(1.0)  # 2 buckets (0.5s grid) x batch grid {1, 2, 4}
+    assert calls == 6
+    keys_after_warmup = set(predictor._fns)
+
+    rng = np.random.default_rng(7)
+    audios = [
+        (rng.normal(size=int(s * 16000)) * 0.1).astype(np.float32)
+        for s in (0.2, 0.6, 0.9, 1.0, 0.4)
+    ]
+    one_hot = np.eye(12, dtype=np.float32)[[0, 1, 2, 3, 4]]
+    template = rng.normal(size=(100, 3)).astype(np.float32)
+    out = predictor(audios, one_hot, template)
+    decode_keys = {k for k in predictor._fns if not (isinstance(k[0], str) and k[0] == "vh")}
+    warm_decode = {k for k in keys_after_warmup if not (isinstance(k[0], str) and k[0] == "vh")}
+    assert decode_keys == warm_decode, "serving compiled a new decode program after warmup"
+    for a, v in zip(audios, out):
+        assert v.shape == (len(a) * 60 // 16000, 100, 3)
