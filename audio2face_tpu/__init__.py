@@ -12,7 +12,7 @@ spelling, `{audio, one_hot, template} -> (B, T, 5023, 3)` model contract,
 12-subject VOCASET split) while the implementation is TPU-first.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # kept in sync with pyproject.toml
 
 from audio2face_tpu.config import ExpConfig
 from audio2face_tpu.registry import get_model, get_extractor, get_loss_fn
@@ -42,6 +42,10 @@ def __getattr__(name):
         from audio2face_tpu.serving_queue import BatchingServer
 
         return BatchingServer
+    if name == "ServingDaemon":
+        from audio2face_tpu.http_server import ServingDaemon
+
+        return ServingDaemon
     if name in ("VertexRegions", "evaluate_animation", "infer_regions"):
         from audio2face_tpu import evaluation
 

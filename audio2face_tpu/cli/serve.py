@@ -1,0 +1,95 @@
+"""``a2f-serve`` — HTTP serving daemon (see audio2face_tpu/http_server.py).
+
+Serve a FaceFormer (default) or frame-model checkpoint over HTTP with
+request coalescing, bounded-queue backpressure, and optional full program
+warmup before the port binds:
+
+    a2f-serve --template assets/FLAME_sample.obj \
+        --checkpoint logs/.../checkpoints/epoch=7-step=123 \
+        --port 8571 --warmup-seconds 60
+
+    curl -s -X POST --data-binary @clip.wav -H 'Content-Type: audio/wav' \
+        'localhost:8571/v1/infer?subject=3' -o verts.npy
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--template", required=True, help="FLAME template .obj/.ply")
+    parser.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--torch-checkpoint", default=None, help="reference .ckpt/.pt")
+    parser.add_argument("--config", default=None,
+                        help="experiment YAML for a frame model "
+                             "(audio2mesh/voca/song2face); omit for faceformer")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8571)
+    parser.add_argument("--batch", type=int, default=8,
+                        help="max clips per coalesced predictor call")
+    parser.add_argument("--max-queue", type=int, default=64,
+                        help="bounded queue depth (backpressure past it)")
+    parser.add_argument("--max-wait-ms", type=float, default=10.0,
+                        help="straggler wait before dispatching a partial batch")
+    parser.add_argument("--timeout", type=float, default=60.0,
+                        help="default per-request queue timeout (seconds)")
+    parser.add_argument("--warmup-seconds", type=float, default=0.0,
+                        help="precompile every (batch, bucket) program for "
+                             "clips up to this length before binding the port "
+                             "(0 = compile lazily on first use)")
+    parser.add_argument("--f32", action="store_true")
+    args = parser.parse_args()
+
+    from audio2face_tpu.http_server import ServingDaemon
+    from audio2face_tpu.utils.cache import enable_persistent_cache
+    from audio2face_tpu.utils.facemesh import FaceMesh
+
+    enable_persistent_cache()
+
+    if args.config:
+        from audio2face_tpu.config import ExpConfig
+        from audio2face_tpu.serving import FramePredictor
+
+        cfg = ExpConfig.from_yaml(args.config)
+        if cfg.modelname == "faceformer":
+            raise SystemExit("--config is for the frame models; omit it for faceformer")
+        kw = dict(max_batch=args.batch)
+        if args.torch_checkpoint:
+            predictor = FramePredictor.from_torch_checkpoint(args.torch_checkpoint, cfg, **kw)
+        elif args.checkpoint:
+            predictor = FramePredictor.from_checkpoint(args.checkpoint, cfg, **kw)
+        else:
+            print("WARNING: no checkpoint given — serving random weights (smoke mode)")
+            predictor = FramePredictor(cfg, **kw)
+    else:
+        from audio2face_tpu.serving import FaceFormerPredictor
+
+        kw = dict(max_batch=args.batch, bf16=not args.f32)
+        if args.torch_checkpoint:
+            predictor = FaceFormerPredictor.from_torch_checkpoint(args.torch_checkpoint, **kw)
+        elif args.checkpoint:
+            predictor = FaceFormerPredictor.from_checkpoint(args.checkpoint, **kw)
+        else:
+            print("WARNING: no checkpoint given — serving random weights (smoke mode)")
+            predictor = FaceFormerPredictor(**kw)
+
+    if args.warmup_seconds > 0:
+        print(f"warming every (batch, bucket) program up to {args.warmup_seconds:.0f}s ...")
+        n = predictor.warmup(args.warmup_seconds)
+        print(f"warm: {n} programs")
+
+    template = np.asarray(FaceMesh.load(args.template).verts, np.float32)
+    daemon = ServingDaemon(
+        predictor, template, host=args.host, port=args.port,
+        max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
+        default_timeout=args.timeout,
+    )
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(POST /v1/infer, GET /healthz, GET /stats)")
+    daemon.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
