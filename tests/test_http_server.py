@@ -192,3 +192,39 @@ def test_serve_cli_entry_point_importable():
 
     mod = importlib.import_module("audio2face_tpu.cli.serve")
     assert callable(mod.main)
+
+
+def test_frame_model_daemon():
+    """The daemon serves frame models through the same wire surface."""
+    from audio2face_tpu.config import ExpConfig
+
+    from audio2face_tpu.serving import FramePredictor
+
+    cfg = ExpConfig(
+        batch_size=4, modelname="audio2mesh", vertex_count=N_VERTS,
+        one_hot_size=12, feature_extractor="mfcc", sample_rate=22000,
+        split_frame=True, n_feature=32, out_dim=52, win_length=440,
+        percision="32", lr=1e-4,
+    )
+    predictor = FramePredictor(cfg, max_batch=2, frame_batch=8, bucket_seconds=0.3)
+    d = ServingDaemon(
+        predictor,
+        np.random.default_rng(8).normal(size=(N_VERTS // 3, 3)).astype(np.float32),
+        port=0,
+    )
+    d.start()
+    try:
+        audio = (np.random.default_rng(9).normal(size=int(0.3 * 22000)) * 0.1
+                 ).astype(np.float32)
+        c = _conn(d)
+        c.request("POST", "/v1/infer?subject=1", body=_wav_bytes(audio, sr=22000),
+                  headers={"Content-Type": "audio/wav"})
+        r = c.getresponse()
+        body = r.read()
+        c.close()
+        assert r.status == 200, body
+        verts = np.load(io.BytesIO(body))
+        assert verts.shape == (int(0.3 * 22000) * 60 // 22000, N_VERTS // 3, 3)
+        assert np.isfinite(verts).all()
+    finally:
+        d.stop()
