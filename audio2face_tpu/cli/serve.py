@@ -35,6 +35,10 @@ def main() -> None:
                         help="straggler wait before dispatching a partial batch")
     parser.add_argument("--timeout", type=float, default=60.0,
                         help="default per-request queue timeout (seconds)")
+    parser.add_argument("--load-shed", action="store_true",
+                        help="reject requests with 429 the moment the queue "
+                             "is full instead of holding the connection "
+                             "(backpressure) until --timeout")
     parser.add_argument("--warmup-seconds", type=float, default=0.0,
                         help="precompile every (batch, bucket) program for "
                              "clips up to this length before binding the port "
@@ -84,7 +88,7 @@ def main() -> None:
     daemon = ServingDaemon(
         predictor, template, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
-        default_timeout=args.timeout,
+        default_timeout=args.timeout, queue_block=not args.load_shed,
     )
     print(f"serving on http://{args.host}:{args.port}  "
           f"(POST /v1/infer, GET /healthz, GET /stats)")

@@ -68,6 +68,7 @@ class ServingDaemon:
         max_wait_ms: float = 10.0,
         max_queue: Optional[int] = 64,
         default_timeout: Optional[float] = 60.0,
+        queue_block: bool = True,
     ):
         if template.ndim != 2 or template.shape[1] != 3:
             raise ValueError(f"template must be (V, 3), got {template.shape}")
@@ -75,6 +76,9 @@ class ServingDaemon:
         self.template = np.asarray(template, np.float32)
         self.host, self.port = host, port
         self.default_timeout = default_timeout
+        # at max_queue depth: True = hold the connection (backpressure up to
+        # the request timeout -> 503); False = load-shed immediately -> 429
+        self.queue_block = queue_block
         self.batcher = BatchingServer(
             predictor, max_wait_ms=max_wait_ms, max_queue=max_queue
         )
@@ -121,7 +125,8 @@ class ServingDaemon:
             raise ValueError(f"subject must be in [0, {n_onehot}), got {subject}")
         one_hot = np.eye(n_onehot, dtype=np.float32)[subject]
         fut = self.batcher.submit(
-            audio, one_hot, self.template, sample_rate, timeout=timeout
+            audio, one_hot, self.template, sample_rate,
+            timeout=timeout, block=self.queue_block,
         )
         return fut.result()
 

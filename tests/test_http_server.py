@@ -6,6 +6,7 @@ import http.client
 import io
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -226,5 +227,84 @@ def test_frame_model_daemon():
         verts = np.load(io.BytesIO(body))
         assert verts.shape == (int(0.3 * 22000) * 60 // 22000, N_VERTS // 3, 3)
         assert np.isfinite(verts).all()
+    finally:
+        d.stop()
+
+
+class _StubPredictor:
+    """Minimal predictor double: blocks until released, so tests can hold
+    the dispatcher busy and saturate the queue deterministically."""
+
+    n_onehot = 12
+    max_batch = 1
+
+    def __init__(self):
+        self.gate = threading.Event()
+
+    def __call__(self, audios, one_hot, template, sample_rate=16000):
+        self.gate.wait(timeout=30)
+        return [np.zeros((3, 100, 3), np.float32) for _ in audios]
+
+
+def _post_async(daemon, results, i):
+    c = _conn(daemon)
+    c.request("POST", "/v1/infer", body=np.zeros(1600, np.float32).tobytes(),
+              headers={"X-Sample-Rate": "16000"})
+    r = c.getresponse()
+    results[i] = (r.status, r.read())
+    c.close()
+
+
+def test_load_shed_returns_429():
+    """queue_block=False: at max_queue depth new requests are rejected with
+    429 immediately instead of holding the connection."""
+    stub = _StubPredictor()
+    d = ServingDaemon(
+        stub, np.zeros((100, 3), np.float32), port=0,
+        max_queue=1, queue_block=False, max_wait_ms=1.0,
+    )
+    d.start()
+    try:
+        results: list = [None] * 3
+        threads = [threading.Thread(target=_post_async, args=(d, results, i))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+            time.sleep(0.3)  # first occupies the dispatcher, second the queue
+        stub.gate.set()
+        for t in threads:
+            t.join()
+        statuses = sorted(s for s, _ in results)
+        assert statuses[0] == 200  # at least the first completes
+        assert 429 in statuses, statuses
+        assert d.stats()["rejected"] >= 1
+    finally:
+        d.stop()
+
+
+def test_backpressure_timeout_returns_503():
+    """queue_block=True (default): a saturated queue holds the request up
+    to its timeout, then resolves 503."""
+    stub = _StubPredictor()
+    d = ServingDaemon(
+        stub, np.zeros((100, 3), np.float32), port=0,
+        max_queue=1, default_timeout=0.5, max_wait_ms=1.0,
+    )
+    d.start()
+    try:
+        results: list = [None] * 3
+        threads = [threading.Thread(target=_post_async, args=(d, results, i))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+            time.sleep(0.3)
+        # don't release the gate until the stragglers have timed out
+        time.sleep(1.0)
+        stub.gate.set()
+        for t in threads:
+            t.join()
+        statuses = sorted(s for s, _ in results)
+        assert 503 in statuses, statuses
+        assert d.stats()["timeouts"] >= 1
     finally:
         d.stop()
