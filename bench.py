@@ -90,6 +90,27 @@ def timed(fn, n: int) -> float:
     return (time.perf_counter() - tic) / n
 
 
+_FF_VARIABLES = None
+
+
+def _ff_variables():
+    """FaceFormer init shared across suite entries: one ~95M-param init +
+    one ~380 MB H2D upload instead of one per entry (the tunnel moves
+    ~20 MB/s, so each re-init costs ~20 s of pure transfer)."""
+    global _FF_VARIABLES
+    if _FF_VARIABLES is None:
+        from audio2face_tpu.models.faceformer import FaceFormer
+
+        model = FaceFormer(n_verts=N_VERTS, n_onehot=N_ONEHOT)
+        _FF_VARIABLES = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, SR), jnp.float32),
+            jnp.zeros((1, N_ONEHOT), jnp.float32),
+            jnp.zeros((1, N_VERTS // 3, 3), jnp.float32),
+        )
+    return _FF_VARIABLES
+
+
 def bench_faceformer_streaming(seconds: float = 60.0, batch: int = 8, bf16: bool = True):
     from audio2face_tpu.models.faceformer import FaceFormer
 
@@ -103,10 +124,7 @@ def bench_faceformer_streaming(seconds: float = 60.0, batch: int = 8, bf16: bool
     one_hot = jnp.asarray(np.eye(N_ONEHOT, dtype=np.float32)[rng.integers(0, N_ONEHOT, batch)])
     template = jnp.asarray(rng.normal(size=(batch, N_VERTS // 3, 3)).astype(np.float32))
 
-    init_audio = jnp.zeros((1, SR), jnp.float32)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), init_audio, one_hot[:1], template[:1]
-    )
+    variables = _ff_variables()
 
     fwd = jax.jit(lambda v, a, o, t: model.apply(v, a, o, t))
     wall = timed(lambda: fwd(variables, audio, one_hot, template), n=10)
@@ -346,11 +364,9 @@ def bench_streaming(seconds: float = 30.0, chunk_s: float = 1.0):
     """Steady-state latency of the streaming decoder: audio arrives in
     100 ms packets, vertices leave chunk_s at a time with 0.5 s lookahead."""
     from audio2face_tpu.streaming import StreamingFaceFormerPredictor
-    from audio2face_tpu.serving import FaceFormerPredictor
 
-    base = FaceFormerPredictor(n_verts=N_VERTS, bf16=True)
     stream = StreamingFaceFormerPredictor(
-        base.variables, n_verts=N_VERTS, chunk_seconds=chunk_s,
+        _ff_variables(), n_verts=N_VERTS, chunk_seconds=chunk_s,
         left_seconds=2.0, lookahead_seconds=0.5, dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
@@ -390,11 +406,9 @@ def bench_multistream(n_streams: int = 8, chunk_s: float = 1.0):
     value = on-chip compute per chunk-round; real-time serving of all N
     streams requires value <= chunk_s * 1000."""
     from audio2face_tpu.multistream import MultiStreamFaceFormerPredictor
-    from audio2face_tpu.serving import FaceFormerPredictor
 
-    base = FaceFormerPredictor(n_verts=N_VERTS, bf16=True)
     pool = MultiStreamFaceFormerPredictor(
-        base.variables, N_VERTS, n_streams=n_streams, chunk_seconds=chunk_s,
+        _ff_variables(), N_VERTS, n_streams=n_streams, chunk_seconds=chunk_s,
         left_seconds=2.0, lookahead_seconds=0.5, dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
@@ -575,11 +589,15 @@ def main():
         ("frame_stream", bench_frame_stream),
     ]
     for name, fn in suite:
+        tic = time.perf_counter()
         try:
             r = fn()
         except Exception as e:  # a broken suite entry must not hide the rest
             r = {"metric": name, "value": None, "unit": None,
                  "vs_baseline": None, "detail": {"error": repr(e)}}
+        r.setdefault("detail", {})["bench_seconds"] = round(
+            time.perf_counter() - tic, 1
+        )
         print(json.dumps(r), flush=True)
 
 
