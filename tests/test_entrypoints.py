@@ -145,7 +145,9 @@ def test_packaging_console_entry_points():
 
     with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
-    assert set(scripts) == {"a2f-train", "a2f-infer", "a2f-render", "a2f-render-frames"}
+    assert set(scripts) == {
+        "a2f-train", "a2f-infer", "a2f-render", "a2f-render-frames", "a2f-serve",
+    }
     for target in scripts.values():
         mod_name, func = target.split(":")
         mod = importlib.import_module(mod_name)
