@@ -65,17 +65,9 @@ def _phase_of(sentence: int) -> str:
 
 
 def _load_wav_16k(path: str) -> np.ndarray:
-    import scipy.io.wavfile as wavfile
+    from audio2face_tpu.utils.audio_io import read_wav
 
-    sr, wav = wavfile.read(path)
-    if wav.ndim > 1:
-        wav = wav.mean(axis=1)
-    if wav.dtype == np.int16:
-        wav = wav.astype(np.float32) / 32768.0
-    elif wav.dtype == np.int32:
-        wav = wav.astype(np.float32) / 2147483648.0
-    else:
-        wav = wav.astype(np.float32)
+    wav, sr = read_wav(path)
     if int(sr) != SR:
         from audio2face_tpu.ops import dsp
         import jax.numpy as jnp

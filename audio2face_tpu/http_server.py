@@ -7,7 +7,7 @@ face on it — a dependency-free (stdlib ``http.server``) daemon so clients
 in any language can decode speech to FLAME vertex animations:
 
 - ``POST /v1/infer`` — body is a WAV file (``audio/wav``/RIFF, any sample
-  rate, int16/float32, mono or stereo) or raw little-endian float32 PCM
+  rate, uint8/int16/int32/float PCM, mono or stereo) or raw little-endian float32 PCM
   with an ``X-Sample-Rate`` header. Optional query params: ``subject``
   (style one-hot index, default 0) and ``timeout`` (seconds in queue).
   Response is the ``.npy`` serialization of the (T, 5023, 3) float32
@@ -170,19 +170,13 @@ def decode_audio_body(body: bytes, content_type: str,
     """Decode a request body to (mono float32 waveform, sample_rate).
 
     WAV (RIFF) bodies carry their own rate; raw float32 PCM needs the
-    X-Sample-Rate header. Matches infer.py's normalization: int16 -> /32768,
-    stereo -> channel mean."""
+    X-Sample-Rate header. PCM normalization (uint8/int16/int32 -> [-1, 1],
+    stereo -> channel mean) is shared with the CLI and the BIWI loader
+    (utils/audio_io.py)."""
     if body[:4] == b"RIFF" or "audio/wav" in content_type:
-        import scipy.io.wavfile as wavfile
+        from audio2face_tpu.utils.audio_io import read_wav
 
-        sr, wav = wavfile.read(io.BytesIO(body))
-        if wav.dtype == np.int16:
-            wav = (wav / 32768.0).astype(np.float32)
-        elif wav.dtype != np.float32:
-            wav = wav.astype(np.float32)
-        if wav.ndim > 1:
-            wav = wav.mean(axis=1)
-        return np.ascontiguousarray(wav, np.float32), int(sr)
+        return read_wav(body)
     if sample_rate_header is None:
         raise ValueError(
             "raw PCM bodies need an X-Sample-Rate header (or send a WAV file)"
@@ -233,6 +227,24 @@ def _make_handler(daemon: ServingDaemon):
 
         def do_POST(self):
             url = urlparse(self.path)
+            # Read the body BEFORE any reply: under HTTP/1.1 keep-alive an
+            # unread body is parsed as the NEXT request line, desyncing the
+            # connection for every later request on it. When the body can't
+            # be read (bad/absent Content-Length, chunked encoding), close
+            # the connection instead of guessing at the framing.
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                length = -1
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if length < 0 or "chunked" in te:
+                self.close_connection = True
+                self._reply_json(
+                    400, {"error": "a valid Content-Length is required "
+                                   "(chunked bodies are not supported)"}
+                )
+                return
+            body = self.rfile.read(length) if length else b""
             if url.path != "/v1/infer":
                 self._reply_json(404, {"error": f"no such path: {url.path}"})
                 return
@@ -246,10 +258,8 @@ def _make_handler(daemon: ServingDaemon):
                     float(q["timeout"][0]) if "timeout" in q
                     else daemon.default_timeout
                 )
-                length = int(self.headers.get("Content-Length", "0"))
-                if length <= 0:
+                if not body:
                     raise ValueError("empty request body")
-                body = self.rfile.read(length)
                 audio, sr = decode_audio_body(
                     body, self.headers.get("Content-Type", ""),
                     self.headers.get("X-Sample-Rate"),
@@ -280,6 +290,8 @@ def _make_handler(daemon: ServingDaemon):
             headers = {
                 "X-Frames": str(verts.shape[0]),
                 "X-Verts": str(verts.shape[1]),
+                # animation clock: 60 fps (vocaset / frame models), 25 (BIWI)
+                "X-FPS": str(getattr(daemon.predictor, "fps", 60)),
             }
             if "application/json" in self.headers.get("Accept", ""):
                 self._reply(

@@ -308,3 +308,70 @@ def test_backpressure_timeout_returns_503():
         assert d.stats()["timeouts"] >= 1
     finally:
         d.stop()
+
+
+def test_int32_and_uint8_wav_bodies_normalize(daemon):
+    """24/32-bit and 8-bit PCM WAVs must decode to the same animation as the
+    int16 encoding of the same signal — scipy returns raw container dtypes,
+    so an unnormalized int32 body would feed ~1e9-amplitude samples in and
+    return garbage with a 200."""
+    rng = np.random.default_rng(11)
+    audio = (rng.normal(size=int(0.3 * SR)) * 0.1).astype(np.float32)
+    r16, body16 = _post_wav(daemon, audio)
+    assert r16.status == 200
+    ref = np.load(io.BytesIO(body16))
+
+    buf = io.BytesIO()
+    wavfile.write(buf, SR, (audio * 2147483648).clip(-2**31, 2**31 - 1).astype(np.int32))
+    c = _conn(daemon)
+    c.request("POST", "/v1/infer", body=buf.getvalue(),
+              headers={"Content-Type": "audio/wav"})
+    r = c.getresponse()
+    v32 = np.load(io.BytesIO(r.read()))
+    c.close()
+    assert r.status == 200
+    np.testing.assert_allclose(v32, ref, atol=1e-4)
+
+    buf = io.BytesIO()
+    wavfile.write(buf, SR, ((audio * 128) + 128).clip(0, 255).astype(np.uint8))
+    c = _conn(daemon)
+    c.request("POST", "/v1/infer", body=buf.getvalue(),
+              headers={"Content-Type": "audio/wav"})
+    r = c.getresponse()
+    v8 = np.load(io.BytesIO(r.read()))
+    c.close()
+    assert r.status == 200
+    assert np.isfinite(v8).all()
+    # 8-bit quantization is coarse; just require the same ballpark
+    assert np.abs(v8 - ref).max() < np.abs(ref).max() + 1.0
+
+
+def test_keepalive_survives_errors_with_unread_bodies(daemon):
+    """HTTP/1.1 keep-alive framing: an error reply must not leave the request
+    body unread in the socket — otherwise the NEXT request on the same
+    connection parses the leftover WAV bytes as its request line."""
+    audio = np.zeros(int(0.3 * SR), np.float32)
+    wav = _wav_bytes(audio)
+    c = _conn(daemon)
+    # bad subject param: fails BEFORE inference, with a large unread body
+    c.request("POST", "/v1/infer?subject=notanint", body=wav,
+              headers={"Content-Type": "audio/wav"})
+    r = c.getresponse()
+    assert r.status == 400
+    r.read()
+    # unknown path with a body
+    c.request("POST", "/v1/nope", body=wav,
+              headers={"Content-Type": "audio/wav"})
+    r = c.getresponse()
+    assert r.status == 404
+    r.read()
+    # the SAME connection must still serve a valid request
+    c.request("POST", "/v1/infer", body=wav,
+              headers={"Content-Type": "audio/wav"})
+    r = c.getresponse()
+    body = r.read()
+    c.close()
+    assert r.status == 200, body
+    verts = np.load(io.BytesIO(body))
+    assert verts.shape == (int(0.3 * SR) * 60 // SR, N_VERTS // 3, 3)
+    assert r.getheader("X-FPS") == "60"
