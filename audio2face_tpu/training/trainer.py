@@ -533,14 +533,24 @@ class Audio2FaceExperiment:
         os.makedirs(self.log_dir, exist_ok=True)
         metrics_path = os.path.join(self.log_dir, "metrics.jsonl")
 
-        np_rng = np.random.default_rng(cfg.seed)
+        # one base key per fit; per-step streams fold in state.step INSIDE
+        # the jitted step, so a resumed run replays the exact streams an
+        # uninterrupted run would have used at the same steps
         rng = jax.random.PRNGKey(cfg.seed)
 
-        start_epoch = 0
+        start_epoch, skip_steps = 0, 0
         if resume and state is None and os.path.isdir(self._ckpt_dir()):
-            state, start_epoch = self.load_checkpoint(with_epoch=True)
-            start_epoch += 1
-            rng = jax.random.fold_in(rng, start_epoch)
+            state, ckpt_epoch, epoch_step = self.load_checkpoint(with_epoch=True)
+            if epoch_step is None:
+                # end-of-epoch save (or a pre-epoch_step checkpoint): the
+                # whole epoch is trained, continue with the next one
+                start_epoch = ckpt_epoch + 1
+            else:
+                # mid-epoch periodic save: finish the interrupted epoch —
+                # replay its (seed, epoch)-derived shuffle and skip the
+                # batches already trained, so "resume loses at most N steps"
+                # holds instead of silently dropping the epoch's remainder
+                start_epoch, skip_steps = ckpt_epoch, epoch_step
         if state is None:
             first = next(iter(datamodule.train_batches(np.random.default_rng(0))))
             state = self.init_state(first)
@@ -564,7 +574,15 @@ class Audio2FaceExperiment:
                 train_errs, n_steps = [], 0
                 from audio2face_tpu.runtime import Prefetcher
 
-                for batch in Prefetcher(datamodule.train_batches(np_rng)):
+                # per-epoch shuffle stream derived from (seed, epoch), not a
+                # sequentially-consumed generator: epoch E's batch order is
+                # reconstructible in isolation, which mid-epoch resume needs
+                np_rng = np.random.default_rng([cfg.seed, epoch])
+                batches = iter(datamodule.train_batches(np_rng))
+                epoch_step0 = skip_steps if epoch == start_epoch else 0
+                for _ in range(epoch_step0):  # already trained before resume
+                    next(batches, None)
+                for batch in Prefetcher(batches):
                     # the per-step stream folds in state.step inside the
                     # jitted step — one base key per fit, no host RNG ops
                     with jax.profiler.StepTraceAnnotation("train", step_num=steps_done):
@@ -575,7 +593,10 @@ class Audio2FaceExperiment:
                         checkpoint_every_steps
                         and steps_done % checkpoint_every_steps == 0
                     ):
-                        self.save_checkpoint(state, epoch, periodic=True)
+                        self.save_checkpoint(
+                            state, epoch, periodic=True,
+                            epoch_step=epoch_step0 + n_steps,
+                        )
                     if profiling and n_steps >= 5:
                         jax.tree.map(lambda x: x.block_until_ready(), metrics)
                         jax.profiler.stop_trace()
@@ -640,11 +661,19 @@ class Audio2FaceExperiment:
         return os.path.abspath(os.path.join(self.log_dir, "checkpoints"))
 
     def save_checkpoint(
-        self, state: TrainState, epoch: int, periodic: bool = False
+        self,
+        state: TrainState,
+        epoch: int,
+        periodic: bool = False,
+        epoch_step: Optional[int] = None,
     ) -> str:
         """``periodic=True`` marks a rolling preemption-safety save: the
         name gains a ``periodic-`` prefix (step-sortable like the rest) and
-        only the newest two periodic saves are kept."""
+        only the newest two periodic saves are kept. ``epoch_step`` records
+        how many optimizer steps of ``epoch`` were already trained at save
+        time (mid-epoch periodic saves set it; end-of-epoch saves leave it
+        unset) — ``fit(resume=True)`` uses it to finish the interrupted
+        epoch instead of skipping its remaining batches."""
         import orbax.checkpoint as ocp
 
         prefix = "periodic-" if periodic else ""
@@ -658,7 +687,10 @@ class Audio2FaceExperiment:
             # as plain dicts otherwise)
             "opt_state_leaves": jax.tree.leaves(state.opt_state),
             "step": state.step,
+            "epoch": epoch,
         }
+        if epoch_step is not None:
+            ckpt["epoch_step"] = int(epoch_step)
         if state.batch_stats:
             ckpt["batch_stats"] = state.batch_stats
         ocp.PyTreeCheckpointer().save(path, jax.tree.map(np.asarray, ckpt), force=True)
@@ -675,7 +707,12 @@ class Audio2FaceExperiment:
 
     def load_checkpoint(self, path: Optional[str] = None, with_epoch: bool = False):
         """Load the newest checkpoint (sorted by the trailing step integer,
-        mirroring train.py:62-67) or an explicit path."""
+        mirroring train.py:62-67) or an explicit path.
+
+        ``with_epoch=True`` returns ``(state, epoch, epoch_step)``:
+        ``epoch_step`` is the number of optimizer steps already trained in
+        ``epoch`` for a mid-epoch periodic save, or ``None`` for an
+        end-of-epoch save (and for checkpoints predating the key)."""
         import orbax.checkpoint as ocp
 
         if path is None:
@@ -700,6 +737,10 @@ class Audio2FaceExperiment:
         )
         state = self._place_state(jax.tree.map(jnp.asarray, state))
         if with_epoch:
-            epoch = int(os.path.basename(path).split("=")[1].split("-")[0])
-            return state, epoch
+            if "epoch" in restored:
+                epoch = int(restored["epoch"])
+            else:  # pre-"epoch"-key checkpoints: parse the directory name
+                epoch = int(os.path.basename(path).split("=")[1].split("-")[0])
+            epoch_step = restored.get("epoch_step")
+            return state, epoch, None if epoch_step is None else int(epoch_step)
         return state

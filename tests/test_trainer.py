@@ -110,6 +110,62 @@ def test_periodic_checkpointing(tiny_setup, tmp_path):
     assert np.isfinite(np.asarray(p)).all()
 
 
+class _CrashingDM:
+    """Proxy datamodule that simulates a preemption: its ``crash_call``-th
+    ``train_batches`` iterator dies after ``k`` batches."""
+
+    def __init__(self, dm, crash_call: int, k: int):
+        self._dm, self._crash_call, self._k = dm, crash_call, k
+        self._calls = 0
+
+    def __getattr__(self, name):
+        return getattr(self._dm, name)
+
+    def train_batches(self, rng):
+        self._calls += 1
+        src = self._dm.train_batches(rng)
+        if self._calls != self._crash_call:
+            yield from src
+            return
+        for i, batch in enumerate(src):
+            if i == self._k:
+                raise RuntimeError("simulated preemption")
+            yield batch
+
+
+def test_mid_epoch_resume_finishes_epoch(tiny_setup, tmp_path):
+    """Resuming from a mid-epoch periodic checkpoint must finish the
+    interrupted epoch's remaining batches (replaying the same (seed, epoch)
+    shuffle and per-step RNG streams), not skip to the next epoch — the
+    resumed epoch's end-of-epoch val/err equals an uninterrupted run's."""
+    cfg, dm = tiny_setup
+    n1 = sum(1 for _ in dm.train_batches(np.random.default_rng(0)))
+    assert n1 >= 2, "fixture too small to interrupt mid-epoch"
+    k = n1 // 2
+
+    exp_a = Audio2FaceExperiment(cfg, log_dir=str(tmp_path / "a"))
+    _, ra = exp_a.fit(dm, max_epochs=2)
+    assert len(ra.history) == 2
+
+    # crash k batches into epoch 1 (train_batches call #3: init consumes
+    # call #1 for shapes, epoch 0 is call #2), with a periodic save every
+    # step so the newest checkpoint is exactly the crash-point state
+    log_b = str(tmp_path / "b")
+    exp_c = Audio2FaceExperiment(cfg, log_dir=log_b)
+    with pytest.raises(RuntimeError, match="simulated preemption"):
+        exp_c.fit(_CrashingDM(dm, crash_call=3, k=k), max_epochs=2,
+                  checkpoint_every_steps=1)
+
+    exp_b = Audio2FaceExperiment(cfg, log_dir=log_b)
+    _, rb = exp_b.fit(dm, max_epochs=2, resume=True)
+    row = rb.history[0]
+    assert row["epoch"] == 1, "resume must re-enter the interrupted epoch"
+    assert row["steps"] == n1 - k, "resume must train exactly the remainder"
+    assert row["val/err"] == ra.history[1]["val/err"], (
+        "resumed epoch must reach the uninterrupted run's state exactly"
+    )
+
+
 def test_voca_checkpoint_roundtrip(tiny_setup, tmp_path):
     """VOCA has no batch norm — empty batch_stats must checkpoint cleanly."""
     cfg, dm = tiny_setup
