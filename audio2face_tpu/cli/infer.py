@@ -41,11 +41,14 @@ def main() -> None:
     parser.add_argument("--config", default=None,
                         help="experiment YAML for a frame model "
                              "(audio2mesh/voca/song2face); omit for faceformer")
+    parser.add_argument("--dataset", choices=["vocaset", "biwi"], default=None,
+                        help="faceformer dataset family (orbax checkpoints "
+                             "auto-detect; REQUIRED as 'biwi' for BIWI-trained "
+                             "torch checkpoints — frames run at 25 fps)")
     args = parser.parse_args()
 
-    import scipy.io.wavfile as wavfile
-
     from audio2face_tpu.serving import FaceFormerPredictor
+    from audio2face_tpu.utils.audio_io import read_wav
     from audio2face_tpu.utils.cache import enable_persistent_cache
     from audio2face_tpu.utils.facemesh import FaceMesh
 
@@ -70,6 +73,8 @@ def main() -> None:
             predictor = FramePredictor(cfg, **fkw)
     else:
         kwargs = dict(max_batch=args.batch, bf16=not args.f32)
+        if args.dataset:
+            kwargs["dataset"] = args.dataset
         if args.torch_checkpoint:
             predictor = FaceFormerPredictor.from_torch_checkpoint(args.torch_checkpoint, **kwargs)
         elif args.checkpoint:
@@ -80,12 +85,8 @@ def main() -> None:
 
     audios, rates = [], set()
     for path in args.audio:
-        sr, wav = wavfile.read(path)
-        if wav.dtype == np.int16:
-            wav = (wav / 32768.0).astype(np.float32)
-        if wav.ndim > 1:
-            wav = wav.mean(axis=1)
-        audios.append(wav.astype(np.float32))
+        wav, sr = read_wav(path)
+        audios.append(wav)
         rates.add(sr)
     if len(rates) != 1:
         raise ValueError(f"all clips must share one sample rate, got {rates}")
@@ -98,6 +99,11 @@ def main() -> None:
     if args.streaming and args.config:
         results = _stream_frames(predictor, audios, one_hot, template, sr)
     elif args.streaming:
+        if getattr(predictor, "dataset", "vocaset") == "biwi":
+            raise SystemExit(
+                "--streaming supports only vocaset faceformer checkpoints "
+                "(the streaming windows assume the 60 fps adapter)"
+            )
         results = _stream(predictor, audios, one_hot, template, sr, args)
     else:
         results = predictor(audios, one_hot, template, sample_rate=sr)

@@ -55,28 +55,37 @@ def main() -> None:
     dataset_path = args.dataset_path or os.path.join(os.getcwd(), "..")
     config = ExpConfig.from_yaml(args.config).apply_faceformer_overrides()
 
-    # fresh-clone path: VOCASET is licensed, so when no artifacts exist we
-    # train on the synthetic stand-in (format-identical; data/synthetic.py)
-    if not os.path.exists(os.path.join(dataset_path, "data_verts.npy")):
-        from audio2face_tpu.data.synthetic import generate_synthetic_vocaset
-
-        dataset_path = os.path.join(os.getcwd(), "synthetic_vocaset")
-        if not os.path.exists(os.path.join(dataset_path, "data_verts.npy")):
-            print(f"no VOCASET artifacts found; generating synthetic data in {dataset_path}")
-            generate_synthetic_vocaset(dataset_path, n_verts=config.vertex_count // 3)
-
     if not args.skip_render and not os.path.exists(args.template):
         from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
 
         print(f"{args.template} missing; writing a synthetic stand-in template")
         generate_synthetic_face_obj(args.template, n_verts=config.vertex_count // 3)
 
-    datamodule = VocaDataModule(
-        dataset_path,
-        batch_size=config.batch_size,
-        num_workers=8,
-        split_frame=config.split_frame,
-    )
+    # fresh-clone path: both corpora are licensed, so when no artifacts
+    # exist we train on the format-identical synthetic stand-in
+    if config.dataset == "biwi":
+        from audio2face_tpu.data.biwi import BiwiDataModule, generate_synthetic_biwi
+
+        if not os.path.exists(os.path.join(dataset_path, "templates.pkl")):
+            dataset_path = os.path.join(os.getcwd(), "synthetic_biwi")
+            if not os.path.exists(os.path.join(dataset_path, "templates.pkl")):
+                print(f"no BIWI artifacts found; generating synthetic data in {dataset_path}")
+                generate_synthetic_biwi(dataset_path, n_verts=config.vertex_count // 3)
+        datamodule = BiwiDataModule(dataset_path, batch_size=config.batch_size)
+    else:
+        if not os.path.exists(os.path.join(dataset_path, "data_verts.npy")):
+            from audio2face_tpu.data.synthetic import generate_synthetic_vocaset
+
+            dataset_path = os.path.join(os.getcwd(), "synthetic_vocaset")
+            if not os.path.exists(os.path.join(dataset_path, "data_verts.npy")):
+                print(f"no VOCASET artifacts found; generating synthetic data in {dataset_path}")
+                generate_synthetic_vocaset(dataset_path, n_verts=config.vertex_count // 3)
+        datamodule = VocaDataModule(
+            dataset_path,
+            batch_size=config.batch_size,
+            num_workers=8,
+            split_frame=config.split_frame,
+        )
     datamodule.setup()
 
     experiment = Audio2FaceExperiment(
@@ -88,7 +97,14 @@ def main() -> None:
     # reload newest checkpoint (reference sorts by trailing step int)
     state = experiment.load_checkpoint()
 
-    batch = datamodule.predict_batch(args.predict_subject, args.predict_sentence)
+    pred_subject, pred_sentence = args.predict_subject, args.predict_sentence
+    test_list = getattr(datamodule.test_dataset, "datalist", None)
+    if test_list and not any(row[0] == pred_subject for row in test_list):
+        # the CLI defaults name a VOCASET subject; on BIWI (or a custom
+        # corpus) fall back to the first test pair instead of KeyError-ing
+        pred_subject, pred_sentence = test_list[0][0], test_list[0][1]
+        print(f"predict subject not in test split; using {pred_subject}/{pred_sentence}")
+    batch = datamodule.predict_batch(pred_subject, pred_sentence)
     pred, err = experiment.predict(state, batch)
     pred = np.asarray(pred)
     if experiment.is_faceformer:
@@ -119,7 +135,8 @@ def main() -> None:
         renderer = Renderer(FaceMesh.load(args.template))
         images = renderer.render(pred)
         save_audio(batch["audio"].reshape(-1), log_dir)
-        images_to_video(images, log_dir)
+        images_to_video(images, log_dir,
+                        fps=25 if config.dataset == "biwi" else 60)
 
 
 if __name__ == "__main__":

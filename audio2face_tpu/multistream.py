@@ -114,10 +114,19 @@ class MultiStreamFaceFormerPredictor:
         unit_scale: float = 100.0,
         mesh=None,
     ):
+        if "cross_q_kernel" in variables["params"]:
+            raise ValueError(
+                "streaming supports only dataset='vocaset' checkpoints (the "
+                "sliding windows assume the 60 fps adapter); this is a "
+                "BIWI-trained FaceFormer — decode it offline via "
+                "FaceFormerPredictor(dataset='biwi')"
+            )
         self.params = variables["params"]
         self.n_verts = n_verts
         self.n_onehot = n_onehot
         self.n_streams = int(n_streams)
+        self.sr = AUDIO_SR  # ingest clock (wire surfaces validate against it)
+        self.fps = 60  # vocaset animation clock
         self.dtype = dtype
         self.unit_scale = float(unit_scale)
         self.chunk = _ceil_grain(int(chunk_seconds * AUDIO_SR))
@@ -507,6 +516,23 @@ class StreamingServer:
     @property
     def n_streams(self) -> int:
         return self._pool.n_streams
+
+    @property
+    def n_verts(self) -> int:
+        return self._pool.n_verts
+
+    @property
+    def n_onehot(self) -> int:
+        return self._pool.n_onehot
+
+    @property
+    def sample_rate(self) -> int:
+        """The pool's ingest clock — wire clients must send PCM at it."""
+        return int(getattr(self._pool, "sr", 16000))
+
+    @property
+    def fps(self) -> int:
+        return int(getattr(self._pool, "fps", 60))
 
     def open_session(
         self, one_hot: np.ndarray, template: np.ndarray,

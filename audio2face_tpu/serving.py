@@ -62,24 +62,60 @@ def _fit_max_batch(max_batch: int, n_data: int) -> int:
     return new
 
 
-def _pad_batch(b: int, max_batch: int, n_data: int = 1) -> int:
-    """Bucket a request group's batch size onto a power-of-two grid (capped
-    at ``max_batch``, rounded up to a whole multiple of the mesh data axis).
+def _batch_grid(max_batch: int, n_data: int = 1) -> list[int]:
+    """The batch-shape grid: powers of two, each rounded up to a whole
+    multiple of the mesh data axis and capped at ``max_batch`` (itself a
+    multiple of the axis after ``_fit_max_batch``).
 
-    Without this, every distinct group size jit-compiles its own program —
+    Without a grid, every distinct group size jit-compiles its own program —
     a 3-clip request after a warmed {1, max_batch} deployment still stalls
-    minutes on Mosaic. With it, at most log2(max_batch)+1 batch shapes exist
-    per audio bucket, so ``warmup()`` can enumerate them all."""
+    minutes on Mosaic. The grid bounds that to <= log2(max_batch)+1 shapes
+    per audio bucket. Grid membership is closed under ``_pad_batch``
+    (every grid size pads to itself), so ``warmup()`` compiles EXACTLY the
+    reachable program set — with the earlier pow2-then-round-up formula,
+    padding was not idempotent off power-of-two mesh axes (n_data=3:
+    pad(3) -> 6) and warmup silently missed shapes live traffic hits."""
+    grid = set()
     p = 1
-    while p < b:
+    while p < max_batch:
+        grid.add(min(_round_up(p, n_data), max_batch))
         p *= 2
-    p = max(min(p, max_batch), b)
-    return _round_up(p, n_data)
+    grid.add(max_batch)
+    return sorted(grid)
 
 
-def _reachable_batches(max_batch: int, n_data: int = 1) -> list[int]:
-    """Every padded batch size ``_pad_batch`` can produce for this config."""
-    return sorted({_pad_batch(b, max_batch, n_data) for b in range(1, max_batch + 1)})
+def _pad_batch(b: int, max_batch: int, n_data: int = 1) -> int:
+    """Smallest grid batch size >= the request group's size ``b``."""
+    for g in _batch_grid(max_batch, n_data):
+        if g >= b:
+            return g
+    raise ValueError(f"group of {b} clips exceeds max_batch={max_batch}")
+
+
+def _warmup_predictor(
+    predictor, max_seconds: float, batches: Optional[Sequence[int]],
+    sample_rate: int,
+) -> int:
+    """Shared warmup driver for both predictors: run every (batch, bucket)
+    program once on zero audio so it lands in the persistent compile cache.
+    ``batches=None`` covers the full batch grid — every shape ``__call__``
+    can pad a request group to."""
+    if batches is None:
+        batches = _batch_grid(
+            predictor.max_batch,
+            predictor.mesh.shape["data"] if predictor.mesh is not None else 1,
+        )
+    bucket = predictor.bucket_samples
+    n_buckets = max(1, -(-int(max_seconds * sample_rate) // bucket))
+    template = np.zeros((predictor.n_verts // 3, 3), np.float32)
+    calls = 0
+    for b in batches:
+        for k in range(1, n_buckets + 1):
+            audios = [np.zeros(k * bucket, np.float32)] * b
+            one_hot = np.zeros((b, predictor.n_onehot), np.float32)
+            predictor(audios, one_hot, template)
+            calls += 1
+    return calls
 
 
 class FaceFormerPredictor:
@@ -97,6 +133,7 @@ class FaceFormerPredictor:
         seed: int = 0,
         decode_impl: Optional[str] = None,
         unit_scale: float = 100.0,
+        dataset: str = "vocaset",
         mesh=None,
         sp_mesh=None,
     ):
@@ -105,18 +142,45 @@ class FaceFormerPredictor:
                 "mesh= (data-parallel clip batches) and sp_mesh= "
                 "(time-sharded encoder) are mutually exclusive"
             )
+        if dataset == "biwi" and sp_mesh is not None:
+            raise NotImplementedError(
+                "sp_mesh= time-sharding assumes the vocaset 60 fps adapter; "
+                "the BIWI encoder keeps raw 50 fps latents — serve BIWI "
+                "checkpoints with mesh= (data parallel) or single-chip"
+            )
         self.sp_mesh = sp_mesh
+        self.dataset = dataset
+        # animation clock of the returned (T, V, 3) tracks (faceformer.py
+        # frame_count: VOCASET animates at 60 fps, BIWI at 25)
+        self.fps = 25 if dataset == "biwi" else 60
         self.model = FaceFormer(
             n_verts=n_verts,
             n_onehot=n_onehot,
             dtype=jnp.bfloat16 if bf16 else None,
             decode_impl=decode_impl,
+            # BIWI animates at 25 fps; the upstream FaceFormer uses the frame
+            # rate as the PPE/ALiBi period (matches the trainer's model_kwargs)
+            **({"dataset": "biwi", "period": 25} if dataset == "biwi" else {}),
         )
         self.n_onehot = n_onehot
         self.n_verts = n_verts
         self.max_batch = max_batch
         self.unit_scale = float(unit_scale)
         self.bucket_samples = int(bucket_seconds * AUDIO_SR)
+        if variables is not None:
+            # a BIWI checkpoint served as vocaset would "work" silently —
+            # flax ignores the unused cross_q/cross_k params, frames run at
+            # the wrong clock, and the diagonal cross attention replaces the
+            # trained 2-way softmax — so the mismatch is an error, not UB
+            has_cross = "cross_q_kernel" in variables.get("params", {})
+            if has_cross != (dataset == "biwi"):
+                want = "biwi" if has_cross else "vocaset"
+                raise ValueError(
+                    f"checkpoint is a dataset={want!r} FaceFormer (cross_q/"
+                    f"cross_k params {'present' if has_cross else 'absent'}) "
+                    f"but the predictor was built with dataset={dataset!r} — "
+                    f"pass dataset={want!r}"
+                )
         if variables is None:
             dummy = jnp.zeros((1, AUDIO_SR), jnp.float32)
             variables = jax.jit(self.model.init)(
@@ -139,22 +203,35 @@ class FaceFormerPredictor:
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, **kwargs) -> "FaceFormerPredictor":
-        """Load a reference PyTorch/Lightning checkpoint."""
+        """Load a reference PyTorch/Lightning checkpoint. Pass
+        ``dataset="biwi"`` for BIWI-trained weights — the converter then
+        also carries the live cross-attention q/k projections."""
         from audio2face_tpu.compat.faceformer_convert import convert_faceformer
         from audio2face_tpu.compat.torch_convert import load_torch_checkpoint
 
         variables = jax.tree.map(
-            jnp.asarray, convert_faceformer(load_torch_checkpoint(path))
+            jnp.asarray,
+            convert_faceformer(
+                load_torch_checkpoint(path),
+                dataset=kwargs.get("dataset", "vocaset"),
+            ),
         )
         return cls(variables=variables, **kwargs)
 
     @classmethod
     def from_checkpoint(cls, path: str, **kwargs) -> "FaceFormerPredictor":
-        """Load an orbax checkpoint written by the training loop."""
+        """Load an orbax checkpoint written by the training loop. The
+        dataset family is auto-detected from the param tree (BIWI
+        checkpoints carry live cross_q/cross_k projections; vocaset's
+        diagonal cross attention has none)."""
         import orbax.checkpoint as ocp
 
         restored = ocp.PyTreeCheckpointer().restore(path)
         variables = {"params": jax.tree.map(jnp.asarray, restored["params"])}
+        kwargs.setdefault(
+            "dataset",
+            "biwi" if "cross_q_kernel" in variables["params"] else "vocaset",
+        )
         return cls(variables=variables, **kwargs)
 
     def _get_fn(self, batch: int, samples: int):
@@ -342,27 +419,13 @@ class FaceFormerPredictor:
         compile — Mosaic kernels take minutes per new shape on a cold cache.
 
         Covers every audio bucket up to ``max_seconds`` for each batch size
-        in ``batches`` (default: every padded batch ``__call__``'s
-        power-of-two batch grid can produce — complete coverage; pass e.g.
-        ``batches=[self.max_batch]`` to trade coverage for warmup time).
-        Runs each program once on zero audio, which also exercises the
-        chunked vertex head. Returns the number of warm calls made.
+        in ``batches`` (default: the full batch grid ``__call__`` pads to —
+        complete coverage; pass e.g. ``batches=[self.max_batch]`` to trade
+        coverage for warmup time). Runs each program once on zero audio,
+        which also exercises the chunked vertex head. Returns the number of
+        warm calls made.
         """
-        if batches is None:
-            batches = _reachable_batches(
-                self.max_batch,
-                self.mesh.shape["data"] if self.mesh is not None else 1,
-            )
-        n_buckets = max(1, -(-int(max_seconds * AUDIO_SR) // self.bucket_samples))
-        template = np.zeros((self.n_verts // 3, 3), np.float32)
-        calls = 0
-        for b in batches:
-            for k in range(1, n_buckets + 1):
-                audios = [np.zeros(k * self.bucket_samples, np.float32)] * b
-                one_hot = np.zeros((b, self.n_onehot), np.float32)
-                self(audios, one_hot, template)
-                calls += 1
-        return calls
+        return _warmup_predictor(self, max_seconds, batches, AUDIO_SR)
 
     def realtime_factor(self, seconds: float = 60.0, batch: Optional[int] = None) -> float:
         """Measured decode throughput in multiples of real time."""
@@ -558,21 +621,7 @@ class FramePredictor:
         ``FaceFormerPredictor.warmup``. One program per audio bucket covers
         any clip length (the frame chunk offset is traced), so this is cheap:
         len(batches) x ceil(max_seconds / bucket_seconds) compiles."""
-        if batches is None:
-            batches = _reachable_batches(
-                self.max_batch,
-                self.mesh.shape["data"] if self.mesh is not None else 1,
-            )
-        n_buckets = max(1, -(-int(max_seconds * self.sample_rate) // self.bucket_samples))
-        template = np.zeros((self.n_verts // 3, 3), np.float32)
-        calls = 0
-        for b in batches:
-            for k in range(1, n_buckets + 1):
-                audios = [np.zeros(k * self.bucket_samples, np.float32)] * b
-                one_hot = np.zeros((b, self.n_onehot), np.float32)
-                self(audios, one_hot, template)
-                calls += 1
-        return calls
+        return _warmup_predictor(self, max_seconds, batches, self.sample_rate)
 
     def __call__(
         self,

@@ -89,6 +89,13 @@ class StreamingFaceFormerPredictor:
         dtype=None,
         unit_scale: float = 100.0,
     ):
+        if "cross_q_kernel" in variables["params"]:
+            raise ValueError(
+                "streaming supports only dataset='vocaset' checkpoints (the "
+                "sliding windows assume the 60 fps adapter); this is a "
+                "BIWI-trained FaceFormer — decode it offline via "
+                "FaceFormerPredictor(dataset='biwi')"
+            )
         self.params = variables["params"]
         self.n_verts = n_verts
         self.n_onehot = n_onehot

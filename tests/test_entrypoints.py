@@ -162,3 +162,30 @@ def test_packaging_console_entry_points():
         with open(os.path.join(REPO, shim)) as f:
             src = f.read()
         assert f"from {cli_mod} import main" in src, shim
+
+
+def test_train_biwi_from_fresh_dir(tmp_path):
+    """`python train.py --config <biwi faceformer yaml>` in an empty cwd:
+    routes to BiwiDataModule, synthesizes a BIWI stand-in corpus, fits one
+    epoch at the 25 fps clock, and falls back to a BIWI test pair when the
+    predict-subject default (a VOCASET name) is absent."""
+    cfg = tmp_path / "faceformer_biwi.yaml"
+    cfg.write_text(
+        "batch_size: 2\nmodelname: faceformer\nvertex_count: 360\n"
+        "one_hot_size: 6\nsplit_frame: False\npercision: '32'\nlr: 1e-4\n"
+        "feature_extractor: mfcc\nsample_rate: 22000\nn_feature: 32\n"
+        "out_dim: 52\nwin_length: 440\ndataset: biwi\n"
+    )
+    _run(
+        [os.path.join(REPO, "train.py"), "--config", str(cfg),
+         "--max-epochs", "1", "--skip-render"],
+        cwd=str(tmp_path),
+        timeout=1800,  # CPU wav2vec2 fwd+bwd compiles dominate (~5 min alone)
+    )
+    assert os.path.exists(tmp_path / "synthetic_biwi" / "templates.pkl")
+    runs = list((tmp_path / "logs").iterdir())
+    assert runs, "no run dir written"
+    pred = np.load(runs[0] / "pred_verts.npy")
+    assert pred.shape[1:] == (120, 3)
+    # 25 fps clock: the synthetic 0.8 s sentences decode 20 frames
+    assert pred.shape[0] == 20, pred.shape

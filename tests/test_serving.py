@@ -426,3 +426,63 @@ def test_warmup_precompiles_all_buckets(predictor):
     assert decode_keys == warm_decode, "serving compiled a new decode program after warmup"
     for a, v in zip(audios, out):
         assert v.shape == (len(a) * 60 // 16000, 100, 3)
+
+
+def test_batch_grid_idempotent_and_complete():
+    """The batch grid is closed under padding (warmup enumerates EXACTLY the
+    shapes live traffic pads to) for any mesh data axis — including
+    non-power-of-two axes, where the earlier pow2-then-round-up formula
+    padded a grid size past itself (n_data=3: pad(3) -> 6) and warmup
+    silently missed programs."""
+    from audio2face_tpu.serving import _batch_grid, _pad_batch
+
+    for max_batch, n_data in [(8, 1), (6, 3), (10, 5), (12, 3), (16, 4), (6, 6)]:
+        grid = _batch_grid(max_batch, n_data)
+        assert grid[-1] == max_batch
+        for g in grid:
+            assert _pad_batch(g, max_batch, n_data) == g, (max_batch, n_data, g)
+            assert g % n_data == 0
+        for b in range(1, max_batch + 1):
+            p = _pad_batch(b, max_batch, n_data)
+            assert p in grid and p >= b, (max_batch, n_data, b, p)
+        assert len(grid) <= max_batch.bit_length() + 1
+
+
+def test_biwi_predictor_plumbing():
+    """dataset="biwi" serves at the 25 fps clock, and a checkpoint/predictor
+    dataset mismatch is an error instead of silent garbage (flax would
+    ignore the unused cross_q/cross_k params and run the wrong alignment)."""
+    biwi = FaceFormerPredictor(
+        n_verts=300, bf16=False, max_batch=2, bucket_seconds=0.5,
+        dataset="biwi",
+    )
+    assert biwi.fps == 25 and biwi.model.dataset == "biwi" and biwi.model.period == 25
+    assert "cross_q_kernel" in biwi.variables["params"]
+
+    rng = np.random.default_rng(3)
+    a = (rng.normal(size=8000) * 0.1).astype(np.float32)
+    out = biwi([a], np.eye(12, dtype=np.float32)[[1]],
+               rng.normal(size=(100, 3)).astype(np.float32))
+    assert out[0].shape == (8000 * 25 // 16000, 100, 3)
+    assert np.isfinite(out[0]).all()
+
+    with pytest.raises(ValueError, match="dataset='biwi'"):
+        FaceFormerPredictor(n_verts=300, variables=biwi.variables)
+    voca = FaceFormerPredictor(
+        n_verts=300, bf16=False, max_batch=2, bucket_seconds=0.5,
+        decode_impl="scan",
+    )
+    with pytest.raises(ValueError, match="dataset='vocaset'"):
+        FaceFormerPredictor(n_verts=300, variables=voca.variables, dataset="biwi")
+    with pytest.raises(NotImplementedError, match="sp_mesh"):
+        FaceFormerPredictor(n_verts=300, dataset="biwi", sp_mesh=object())
+
+    # the streaming paths assume the vocaset 60 fps adapter — they must
+    # reject BIWI checkpoints instead of running the wrong alignment
+    from audio2face_tpu.multistream import MultiStreamFaceFormerPredictor
+    from audio2face_tpu.streaming import StreamingFaceFormerPredictor
+
+    with pytest.raises(ValueError, match="BIWI"):
+        StreamingFaceFormerPredictor(biwi.variables, n_verts=300)
+    with pytest.raises(ValueError, match="BIWI"):
+        MultiStreamFaceFormerPredictor(biwi.variables, n_verts=300, n_streams=2)
