@@ -46,6 +46,10 @@ def __getattr__(name):
         from audio2face_tpu.http_server import ServingDaemon
 
         return ServingDaemon
+    if name in ("LiveStreamingDaemon", "LiveClient"):
+        from audio2face_tpu import live_server
+
+        return getattr(live_server, name)
     if name in ("VertexRegions", "evaluate_animation", "infer_regions"):
         from audio2face_tpu import evaluation
 

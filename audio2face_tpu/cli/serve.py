@@ -43,7 +43,17 @@ def main() -> None:
                         help="precompile every (batch, bucket) program for "
                              "clips up to this length before binding the port "
                              "(0 = compile lazily on first use)")
+    parser.add_argument("--live-port", type=int, default=0,
+                        help="also serve LIVE streams (framed-TCP wire "
+                             "protocol, audio2face_tpu/live_server.py) on "
+                             "this port from the same weights (0 = off)")
+    parser.add_argument("--live-streams", type=int, default=8,
+                        help="live pool size: concurrent sessions per chip")
     parser.add_argument("--f32", action="store_true")
+    parser.add_argument("--dataset", choices=["vocaset", "biwi"], default=None,
+                        help="faceformer dataset family (orbax checkpoints "
+                             "auto-detect; REQUIRED as 'biwi' for BIWI-trained "
+                             "torch checkpoints — frames run at 25 fps)")
     args = parser.parse_args()
 
     from audio2face_tpu.http_server import ServingDaemon
@@ -71,6 +81,8 @@ def main() -> None:
         from audio2face_tpu.serving import FaceFormerPredictor
 
         kw = dict(max_batch=args.batch, bf16=not args.f32)
+        if args.dataset:
+            kw["dataset"] = args.dataset
         if args.torch_checkpoint:
             predictor = FaceFormerPredictor.from_torch_checkpoint(args.torch_checkpoint, **kw)
         elif args.checkpoint:
@@ -85,6 +97,40 @@ def main() -> None:
         print(f"warm: {n} programs")
 
     template = np.asarray(FaceMesh.load(args.template).verts, np.float32)
+
+    if args.live_port:
+        from audio2face_tpu.live_server import LiveStreamingDaemon
+        from audio2face_tpu.multistream import StreamingServer
+
+        if args.config:
+            from audio2face_tpu.frame_stream import FrameStreamPool
+
+            pool = FrameStreamPool(
+                predictor.config, variables=predictor.variables,
+                n_streams=args.live_streams,
+            )
+            server = StreamingServer(pool=pool)
+        else:
+            if getattr(predictor, "dataset", "vocaset") == "biwi":
+                raise SystemExit(
+                    "--live-port supports only vocaset faceformer checkpoints "
+                    "(the streaming windows assume the 60 fps adapter)"
+                )
+            import jax.numpy as jnp
+
+            server = StreamingServer(
+                predictor.variables, predictor.n_verts,
+                n_streams=args.live_streams,
+                dtype=None if args.f32 else jnp.bfloat16,
+            )
+        live = LiveStreamingDaemon(
+            server=server, template=template,
+            host=args.host, port=args.live_port,
+        )
+        live.start()
+        print(f"live streaming on tcp://{args.host}:{live.port}  "
+              f"({args.live_streams} concurrent sessions/chip)")
+
     daemon = ServingDaemon(
         predictor, template, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,

@@ -101,6 +101,7 @@ class FrameStreamPool:
                 self._base._fe_params = replicate(mesh, self._base._fe_params)
         self.config = config
         self.sr = config.sample_rate
+        self.fps = FPS  # vocaset animation clock (frame models are 60 fps)
         self.n_verts = config.vertex_count
         self.n_onehot = config.one_hot_size
         self.n_streams = int(n_streams)
