@@ -120,6 +120,7 @@ def main() -> None:
 
             server = StreamingServer(
                 predictor.variables, predictor.n_verts,
+                n_onehot=predictor.n_onehot,
                 n_streams=args.live_streams,
                 dtype=None if args.f32 else jnp.bfloat16,
             )
@@ -135,6 +136,7 @@ def main() -> None:
         predictor, template, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
         default_timeout=args.timeout, queue_block=not args.load_shed,
+        extra_stats={"live": live.stats} if args.live_port else None,
     )
     print(f"serving on http://{args.host}:{args.port}  "
           f"(POST /v1/infer, GET /healthz, GET /stats)")

@@ -69,6 +69,7 @@ class ServingDaemon:
         max_queue: Optional[int] = 64,
         default_timeout: Optional[float] = 60.0,
         queue_block: bool = True,
+        extra_stats: Optional[dict] = None,
     ):
         if template.ndim != 2 or template.shape[1] != 3:
             raise ValueError(f"template must be (V, 3), got {template.shape}")
@@ -85,6 +86,9 @@ class ServingDaemon:
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "ok": 0, "errors": 0, "timeouts": 0,
                        "rejected": 0, "in_flight": 0}
+        # sibling surfaces' stats() callables merged into GET /stats under
+        # their key (e.g. {"live": live_daemon.stats} from a2f-serve)
+        self.extra_stats = dict(extra_stats or {})
         self._latencies: list[float] = []
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
@@ -112,6 +116,11 @@ class ServingDaemon:
                 "max": round(float(lat.max()) * 1e3, 1),
                 "window": int(lat.size),
             }
+        for key, fn in self.extra_stats.items():
+            try:
+                out[key] = fn()
+            except Exception as e:  # a sibling's failure must not 500 /stats
+                out[key] = {"error": str(e)}
         return out
 
     # ----------------------------------------------------------- request

@@ -169,6 +169,107 @@ def test_ragged_audio_payload_is_an_error(daemon):
     c.close()
 
 
+def test_serve_cli_dual_surface(tmp_path):
+    """`a2f-serve --live-port` runs BOTH wire surfaces from one process and
+    one set of weights: the offline HTTP daemon and the live TCP daemon
+    must return the same animation for the same clip (the streaming pool
+    is exact vs the offline predictor for chunk-multiple pushes)."""
+    import http.client
+    import io
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sr = 22000
+    cfg = tmp_path / "audio2mesh.yaml"
+    cfg.write_text(
+        "batch_size: 8\nmodelname: audio2mesh\nvertex_count: 300\n"
+        "one_hot_size: 12\nsplit_frame: True\npercision: '32'\nlr: 1e-3\n"
+        "feature_extractor: mfcc\nsample_rate: 22000\nn_feature: 32\n"
+        "out_dim: 52\nwin_length: 440\n"
+    )
+    tmpl = str(tmp_path / "face.obj")
+    generate_synthetic_face_obj(tmpl, n_verts=100)
+
+    # ask the kernel for two free ports (a bound-then-closed port can be
+    # re-bound immediately; the race window is acceptable for a test)
+    ports = []
+    for _ in range(2):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        ports.append(s.getsockname()[1])
+        s.close()
+    http_port, live_port = ports
+
+    env = dict(os.environ)
+    env["A2F_FORCE_PLATFORM"] = "cpu"  # hermetic: don't grab the TPU
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "audio2face_tpu.cli.serve",
+         "--template", tmpl, "--config", str(cfg),
+         "--port", str(http_port), "--live-port", str(live_port),
+         "--live-streams", "2", "--batch", "2"],
+        env=env, cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.monotonic() + 600  # CPU jit compiles dominate
+        while True:
+            assert proc.poll() is None, f"serve CLI died:\n{proc.stdout.read()}"
+            try:
+                c = http.client.HTTPConnection("127.0.0.1", http_port, timeout=5)
+                c.request("GET", "/healthz")
+                if c.getresponse().status == 200:
+                    c.close()
+                    break
+                c.close()
+            except OSError:
+                pass
+            assert time.monotonic() < deadline, "serve CLI never became healthy"
+            time.sleep(1.0)
+
+        rng = np.random.default_rng(7)
+        clip = (rng.normal(size=int(0.9 * sr)) * 0.1).astype(np.float32)
+
+        c = http.client.HTTPConnection("127.0.0.1", http_port, timeout=300)
+        c.request("POST", "/v1/infer?subject=1", body=clip.tobytes(),
+                  headers={"Content-Type": "application/octet-stream",
+                           "X-Sample-Rate": str(sr)})
+        r = c.getresponse()
+        body = r.read()
+        c.close()
+        assert r.status == 200, body
+        assert r.getheader("X-FPS") == "60"
+        offline = np.load(io.BytesIO(body))
+
+        with LiveClient(live_port, subject=1, sample_rate=sr,
+                        timeout=30.0) as lc:
+            assert lc.info["streams"] == 2 and lc.fps == 60
+            live = np.concatenate([lc.send(clip), lc.finish()])
+
+        assert live.shape == offline.shape
+        np.testing.assert_allclose(live, offline, atol=1e-5)
+
+        # GET /stats merges the live daemon's counters under "live"
+        c = http.client.HTTPConnection("127.0.0.1", http_port, timeout=30)
+        c.request("GET", "/stats")
+        stats = json.loads(c.getresponse().read().decode())
+        c.close()
+        assert stats["ok"] >= 1
+        assert stats["live"]["sessions"] == 1
+        assert stats["live"]["frames_out"] == offline.shape[0]
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def test_frame_pool_over_the_wire():
     """The wire layer is pool-agnostic: a frame-model FrameStreamPool behind
     StreamingServer serves over TCP, and matches the offline predictor."""
