@@ -108,6 +108,61 @@ def test_train_runs_from_fresh_dir(tmp_path):
     pred = np.load(runs[0] / "pred_verts.npy")
     assert pred.shape[1:] == (523, 3)
 
+    # a2f-eval sweep mode: restore the checkpoint the fit just wrote and
+    # compute LVE/FDD/MVE over (a slice of) the test split
+    proc = _run(
+        [
+            "-m", "audio2face_tpu.cli.evaluate",
+            "--config", str(cfg),
+            "--dataset-path", str(tmp_path / "synthetic_vocaset"),
+            "--max-sentences", "2",
+        ],
+        cwd=str(tmp_path),
+    )
+    import json
+
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])["metrics"]
+    assert metrics["n_sentences"] == 2
+    for k in ("lve", "fdd", "mve", "max_l2", "err"):
+        assert np.isfinite(metrics[k]), metrics
+
+
+def test_eval_animation_diff(tmp_path):
+    """`a2f-eval --pred --gt --template` diff mode: identical animations
+    score zero on every error metric; a perturbed copy scores positive and
+    max_l2 reports the exact injected displacement."""
+    import json
+
+    from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+
+    template = str(tmp_path / "template.obj")
+    generate_synthetic_face_obj(template, n_verts=523)
+
+    rng = np.random.default_rng(0)
+    gt = rng.normal(size=(7, 523, 3)).astype(np.float32) * 0.01
+    pred = gt.copy()
+    pred[3, 41] += np.float32([3e-3, 0, 4e-3])  # ||d|| = 5e-3 exactly
+    np.save(tmp_path / "gt.npy", gt)
+    np.save(tmp_path / "pred.npy", pred)
+
+    def run_eval(pred_path):
+        proc = _run(
+            ["-m", "audio2face_tpu.cli.evaluate",
+             "--pred", str(pred_path), "--gt", str(tmp_path / "gt.npy"),
+             "--template", template],
+            cwd=str(tmp_path),
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])["metrics"]
+
+    same = run_eval(tmp_path / "gt.npy")
+    assert same["n_frames"] == 7
+    assert same["lve"] == 0 and same["mve"] == 0 and same["max_l2"] == 0
+    assert same["fdd"] == 0
+
+    diff = run_eval(tmp_path / "pred.npy")
+    assert diff["max_l2"] == pytest.approx(5e-3, rel=1e-5)
+    assert diff["mve"] > 0 and diff["lve"] >= 0
+
 
 def test_infer_frame_model_smoke(tmp_path):
     """`python infer.py --config <frame model>` serves a frame model from a
@@ -147,6 +202,7 @@ def test_packaging_console_entry_points():
         scripts = tomllib.load(f)["project"]["scripts"]
     assert set(scripts) == {
         "a2f-train", "a2f-infer", "a2f-render", "a2f-render-frames", "a2f-serve",
+        "a2f-eval",
     }
     for target in scripts.values():
         mod_name, func = target.split(":")
