@@ -179,3 +179,73 @@ def test_export_faceformer_from_flax_init():
             torch.as_tensor(template_np),
         ).numpy()
     assert np.abs(ours - ref).max() < 1e-4
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """`a2f-export` turns an orbax checkpoint into a Lightning-style .ckpt
+    whose tensors convert back (convert_state_dict) to the exact saved
+    params + batch_stats — the outbound half of the migration story, driven
+    through the CLI."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from audio2face_tpu.config import ExpConfig
+    from audio2face_tpu.data.synthetic import generate_synthetic_vocaset
+    from audio2face_tpu.data.vocaset import VocaDataModule
+    from audio2face_tpu.training.trainer import Audio2FaceExperiment
+
+    d = str(tmp_path / "voca")
+    generate_synthetic_vocaset(
+        d, n_verts=60, sentences_per_subject=1, seconds_per_sentence=0.6
+    )
+    cfg = ExpConfig(
+        batch_size=16, modelname="audio2mesh", vertex_count=180, one_hot_size=12,
+        feature_extractor="mfcc", sample_rate=22000, split_frame=True,
+        n_feature=32, out_dim=52, win_length=440, percision="32", lr=3e-3,
+    )
+    dm = VocaDataModule(d, batch_size=cfg.batch_size, split_frame=True)
+    dm.setup()
+
+    exp = Audio2FaceExperiment(cfg, log_dir=str(tmp_path / "run"))
+    batch = next(dm.train_batches(np.random.default_rng(0)))
+    state = exp.init_state(batch)
+    ckpt_path = exp.save_checkpoint(state, epoch=0)
+
+    cfg_yaml = tmp_path / "a2m.yaml"
+    cfg_yaml.write_text(
+        "batch_size: 16\nmodelname: audio2mesh\nvertex_count: 180\n"
+        "one_hot_size: 12\nsplit_frame: True\npercision: '32'\nlr: 3e-3\n"
+        "feature_extractor: mfcc\nsample_rate: 22000\nn_feature: 32\n"
+        "out_dim: 52\nwin_length: 440\n"
+    )
+    out_ckpt = tmp_path / "exported.ckpt"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["A2F_FORCE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "audio2face_tpu.cli.export",
+         "--config", str(cfg_yaml), "--checkpoint", ckpt_path,
+         "--out", str(out_ckpt)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    raw = torch.load(str(out_ckpt), map_location="cpu", weights_only=False)
+    assert raw["global_step"] == int(state.step)
+    assert all(k.startswith("model.") for k in raw["state_dict"])
+
+    variables = convert_state_dict("audio2mesh", load_torch_checkpoint(str(out_ckpt)))
+    import jax
+
+    for got, want in zip(
+        jax.tree.leaves(variables["params"]), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+    for got, want in zip(
+        jax.tree.leaves(variables["batch_stats"]),
+        jax.tree.leaves(state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)

@@ -202,7 +202,7 @@ def test_packaging_console_entry_points():
         scripts = tomllib.load(f)["project"]["scripts"]
     assert set(scripts) == {
         "a2f-train", "a2f-infer", "a2f-render", "a2f-render-frames", "a2f-serve",
-        "a2f-eval",
+        "a2f-eval", "a2f-export",
     }
     for target in scripts.values():
         mod_name, func = target.split(":")
