@@ -44,6 +44,16 @@ BG_COLOR = 255
 ROW_BLOCK = 50
 TRI_CHUNK = 256
 
+# Fast path: per-triangle local-patch rasterization (see render_frames_u8).
+# FLAME-scale triangles project to ~10 px bboxes at this camera; tier 1
+# covers those, tier 2 catches coarser meshes, anything bigger falls back
+# to the banded rasterizer (exact at any triangle size).
+PATCH_TIERS = ((16, 24), (32, 48))
+FRAME_BATCH = 16
+_FLAT_CHUNK = 2048
+_IZ_BITS = 22
+_IZ_SCALE = float((1 << _IZ_BITS) - 1) * FRUSTUM["near"]  # iz <= 1/near
+
 
 def _rodrigues(axis_angle: np.ndarray) -> np.ndarray:
     """Rotation matrix from an axis-angle vector (cv2.Rodrigues equivalent,
@@ -169,6 +179,136 @@ def rasterize_bands(
     return jax.vmap(band)(tri, valid, row0)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("patch_h", "patch_w", "height", "width", "tri_chunk"),
+)
+def render_frames_u8(
+    verts: jnp.ndarray,  # (F, V, 3) float32
+    faces: jnp.ndarray,  # (T, 3) int32, T a multiple of tri_chunk
+    face_valid: jnp.ndarray,  # (T,) bool (False on padding rows)
+    lights: jnp.ndarray,  # (5, 3)
+    *,
+    patch_h: int,
+    patch_w: int,
+    height: int = FRUSTUM["height"],
+    width: int = FRUSTUM["width"],
+    tri_chunk: int = _FLAT_CHUNK,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Render a whole batch of frames in ONE device program.
+
+    Returns ((F, height, width) uint8 images, (F,) bool all_fit).
+
+    TPU-first design: the banded rasterizer above tests every bucketed
+    triangle against a full 50x800 row band, but FLAME-scale triangles
+    project to ~10 px bboxes — >99% of those tests are dead work, and its
+    per-frame host round trips (bucketing runs on host) cost more than the
+    kernel on a tunneled/PCIe-attached chip. Here each triangle is
+    rasterized only against a (patch_h, patch_w) pixel window anchored at
+    its own screen bbox, and z-resolution is a single int32 scatter-max per
+    chunk: key = (quantized 1/z) << 8 | shade byte, so depth test and color
+    selection are one associative reduction (scatter-max measures ~0.1 ms
+    for a full frame's contributions on v5e). No host work per frame at all.
+
+    Triangles whose bbox exceeds the patch are NOT drawn; the per-frame
+    ``all_fit`` flag reports that, and the caller escalates to a larger
+    patch tier or the exact banded path. Frames with NaN/degenerate
+    vertices render as background (the banded path does the same).
+    """
+    f32 = jnp.float32
+
+    def project(vf):
+        u, v, z, shade, visible = (
+            project_and_shade(vf, faces, lights)
+        )
+        uu, vv = u[faces], v[faces]  # (T, 3)
+        izv = 1.0 / z[faces]
+        soz = shade[faces] * izv
+        ok3 = visible[faces].all(axis=1) & face_valid
+        xmin, xmax = uu.min(1), uu.max(1)
+        ymin, ymax = vv.min(1), vv.max(1)
+        x0 = jnp.floor(xmin).astype(jnp.int32)
+        y0 = jnp.floor(ymin).astype(jnp.int32)
+        fits = (xmax - xmin <= patch_w - 1.0) & (ymax - ymin <= patch_h - 1.0)
+        onscreen = (xmax >= 0) & (ymax >= 0) & (xmin < width) & (ymin < height)
+        ok = ok3 & onscreen & fits
+        all_fit = ~jnp.any(ok3 & onscreen & ~fits)
+        tri = jnp.stack([uu, vv, izv, soz], axis=2)  # (T, 3, 4)
+        return tri, ok, x0, y0, all_fit
+
+    n_frames = verts.shape[0]
+    tri, ok, x0, y0, all_fit = jax.vmap(project)(verts.astype(f32))
+
+    # flatten (frame, triangle) -> one scatter stream over a per-frame
+    # framebuffer block; the last slot is the dump target for culled pixels
+    n_px = height * width
+    frame_base = jnp.repeat(
+        jnp.arange(n_frames, dtype=jnp.int32) * n_px, tri.shape[1]
+    )
+    tri = tri.reshape(-1, 3, 4)
+    ok = ok.reshape(-1)
+    x0, y0 = x0.reshape(-1), y0.reshape(-1)
+
+    n = tri.shape[0]
+    assert n % tri_chunk == 0, (n, tri_chunk)
+    shp = (n // tri_chunk, tri_chunk)
+    dx = jnp.arange(patch_w, dtype=jnp.int32)
+    dy = jnp.arange(patch_h, dtype=jnp.int32)
+
+    def body(fb, chunk):
+        t, okc, xc, yc, base = chunk
+        xi = xc[:, None, None] + dx[None, None, :]  # (C, 1, PW)
+        yi = yc[:, None, None] + dy[None, :, None]  # (C, PH, 1)
+        px = xi.astype(f32) + 0.5
+        py = yi.astype(f32) + 0.5
+        ax, ay = t[:, 0, 0, None, None], t[:, 0, 1, None, None]
+        bx, by = t[:, 1, 0, None, None], t[:, 1, 1, None, None]
+        cx, cy = t[:, 2, 0, None, None], t[:, 2, 1, None, None]
+        area = (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
+        inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)
+        w0 = ((bx - px) * (cy - py) - (cx - px) * (by - py)) * inv_area
+        w1 = ((cx - px) * (ay - py) - (ax - px) * (cy - py)) * inv_area
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & okc[:, None, None]
+        iz = (
+            w0 * t[:, 0, 2, None, None]
+            + w1 * t[:, 1, 2, None, None]
+            + w2 * t[:, 2, 2, None, None]
+        )
+        s = (
+            w0 * t[:, 0, 3, None, None]
+            + w1 * t[:, 1, 3, None, None]
+            + w2 * t[:, 2, 3, None, None]
+        ) / jnp.maximum(iz, 1e-12)
+        izq = jnp.clip(iz * _IZ_SCALE, 1.0, float((1 << _IZ_BITS) - 1))
+        izq = izq.astype(jnp.int32)
+        sq = jnp.clip(jnp.minimum(s * 255.0, 254.0), 0.0, 254.0).astype(jnp.int32)
+        key = (izq << 8) | sq
+        valid = inside & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+        ids = jnp.where(
+            valid, base[:, None, None] + yi * width + xi, n_frames * n_px
+        )
+        key = jnp.where(valid, key, 0)
+        fb = fb.at[ids.reshape(-1)].max(key.reshape(-1), mode="promise_in_bounds")
+        return fb, None
+
+    fb0 = jnp.zeros((n_frames * n_px + 1,), jnp.int32)
+    fb, _ = jax.lax.scan(
+        body,
+        fb0,
+        (
+            tri.reshape(shp + (3, 4)),
+            ok.reshape(shp),
+            x0.reshape(shp),
+            y0.reshape(shp),
+            frame_base.reshape(shp),
+        ),
+    )
+    fb = fb[: n_frames * n_px].reshape(n_frames, height, width)
+    img = jnp.where(fb == 0, 255, fb & 0xFF).astype(jnp.uint8)
+    return img, all_fit
+
+
 class Renderer:
     """API parity with the reference Renderer (src/utils/renderer.py:14-113)."""
 
@@ -177,6 +317,13 @@ class Renderer:
         self.faces_np = np.asarray(texture_mesh.faces, np.int32)
         self.faces = jnp.asarray(self.faces_np)
         self.lights = jnp.asarray(light_positions())
+        # fast path: triangle stream padded to the scatter chunk size
+        n_tri = len(self.faces_np)
+        n_pad = _round_up(max(n_tri, 1), _FLAT_CHUNK)
+        fp = np.zeros((n_pad, 3), np.int32)
+        fp[:n_tri] = self.faces_np
+        self._faces_padded = jnp.asarray(fp)
+        self._face_valid = jnp.asarray(np.arange(n_pad) < n_tri)
         self.camera_params = {
             "c": np.array(CAMERA_C),
             "k": np.array([-0.19816071, 0.92822711, 0, 0, 0]),  # stored, unused (as in the reference)
@@ -241,6 +388,44 @@ class Renderer:
         )[: (band_hi + 1 - band_lo) * ROW_BLOCK]
         return shade_to_image(img)
 
+    def _render_frames_fast(self, verts: np.ndarray) -> list[np.ndarray]:
+        """Batched fast path: escalate through PATCH_TIERS, raise if the
+        mesh's triangles are too coarse for every tier (caller falls back
+        to the exact banded rasterizer)."""
+        n = len(verts)
+        if n < FRAME_BATCH:  # fixed frame count -> bounded compile set
+            verts = np.concatenate(
+                [verts, np.repeat(verts[-1:], FRAME_BATCH - n, axis=0)]
+            )
+        vd = jnp.asarray(verts, jnp.float32)
+        for patch_h, patch_w in PATCH_TIERS:
+            imgs, fit = render_frames_u8(
+                vd, self._faces_padded, self._face_valid, self.lights,
+                patch_h=patch_h, patch_w=patch_w,
+            )
+            if bool(np.asarray(fit).all()):
+                gray = np.asarray(imgs[:n])
+                return [np.repeat(g[..., None], 3, axis=2) for g in gray]
+        raise ValueError(
+            f"triangles exceed the {PATCH_TIERS[-1]} px patch; "
+            "using the banded rasterizer"
+        )
+
+    def _render_serial(self, target_verts, images, prev, n_success):
+        """Per-frame exact path with the reference's frame-level fault
+        tolerance (renderer.py:99-108): a failed frame repeats the
+        previous one."""
+        for vert in target_verts:
+            try:
+                img = self._render_frame(np.asarray(vert))
+                n_success += 1
+            except Exception as e:
+                print("Failed rendering frame " + str(e))
+                img = prev
+            prev = img
+            images.append(img)
+        return images, prev, n_success
+
     def render(self, target_verts: np.ndarray) -> list[np.ndarray]:
         n_frames = target_verts.shape[0]
         tic = time.time()
@@ -248,15 +433,17 @@ class Renderer:
         prev = None
         images = []
         n_success = 0
-        for vert in target_verts:
+        for lo in range(0, n_frames, FRAME_BATCH):
+            chunk = np.asarray(target_verts[lo : lo + FRAME_BATCH], np.float32)
             try:
-                img = self._render_frame(np.asarray(vert))
-                n_success += 1
-            except Exception as e:  # frame-level fault tolerance (renderer.py:99-108)
-                print("Failed rendering frame " + str(e))
-                img = prev
-            prev = img
-            images.append(img)
+                batch = self._render_frames_fast(chunk)
+                images.extend(batch)
+                prev = batch[-1]
+                n_success += len(batch)
+            except Exception:  # coarse meshes, NaNs mid-bucketing, etc.
+                images, prev, n_success = self._render_serial(
+                    chunk, images, prev, n_success
+                )
         toc = time.time()
         if n_success:
             print(

@@ -547,6 +547,68 @@ def bench_frame_stream(n_streams: int = 8, frame_batch: int = 32):
     }
 
 
+def bench_render(n_frames: int = 64):
+    """Offscreen software-rasterizer throughput — the predict→video path.
+
+    The reference's pyrender/EGL renderer rebuilds the scene every frame and
+    prints its own s/frame (src/utils/renderer.py:109-112) but records no
+    number. value = device-step frames/sec at the full 800×800 target
+    (batched local-patch rasterizer, device-resident verts — same timing
+    convention as every other suite entry); detail carries the end-to-end
+    ``Renderer.render`` fps including host↔device transfers and the numpy
+    image unpack. vs_baseline = real-time factor against the 60 fps
+    animation clock (>= 1 means the video renders faster than it plays)."""
+    import tempfile
+
+    from audio2face_tpu.data.synthetic import (
+        generate_demo_animation,
+        generate_synthetic_face_obj,
+    )
+    from audio2face_tpu.utils.facemesh import FaceMesh
+    from audio2face_tpu.utils.renderer import (
+        FRAME_BATCH,
+        PATCH_TIERS,
+        Renderer,
+        render_frames_u8,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        obj = generate_synthetic_face_obj(os.path.join(d, "face.obj"))
+        verts_path = generate_demo_animation(
+            obj, os.path.join(d, "verts.npy"), seconds=n_frames / FPS, fps=FPS
+        )
+        mesh = FaceMesh.load(obj)
+        verts = np.load(verts_path)[:n_frames]
+
+    renderer = Renderer(mesh)
+    patch_h, patch_w = PATCH_TIERS[0]
+    vd = jnp.asarray(verts[:FRAME_BATCH], jnp.float32)
+    step = lambda v: render_frames_u8(  # noqa: E731
+        v, renderer._faces_padded, renderer._face_valid, renderer.lights,
+        patch_h=patch_h, patch_w=patch_w,
+    )[0]
+    wall = timed(lambda: step(vd), n=10)
+    fps = FRAME_BATCH / wall
+
+    tic = time.perf_counter()
+    images = renderer.render(verts)
+    e2e_wall = time.perf_counter() - tic
+    assert len(images) == n_frames
+    return {
+        "metric": "offscreen render (batched scatter-max rasterizer, "
+                  "800x800, 5023-vert mesh)",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / FPS, 3),
+        "detail": {
+            "n_frames": n_frames,
+            "device_ms_per_frame": round(wall / FRAME_BATCH * 1e3, 3),
+            "e2e_fps_incl_transfers": round(n_frames / e2e_wall, 1),
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -587,6 +649,7 @@ def main():
         ("streaming", bench_streaming),
         ("multistream", bench_multistream),
         ("frame_stream", bench_frame_stream),
+        ("render", bench_render),
     ]
     for name, fn in suite:
         tic = time.perf_counter()

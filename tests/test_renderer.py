@@ -77,6 +77,64 @@ def test_render_fault_tolerance():
     np.testing.assert_array_equal(images[0], images[1])
 
 
+def test_fast_path_matches_banded():
+    """The batched scatter-max rasterizer must agree with the exact banded
+    path (z keys are quantized to 22 bits, so allow the same tolerance the
+    golden test uses: <1% of pixels off by >3)."""
+    import tempfile
+
+    from audio2face_tpu.data.synthetic import (
+        generate_demo_animation,
+        generate_synthetic_face_obj,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        obj = generate_synthetic_face_obj(d + "/face.obj")
+        vp = generate_demo_animation(obj, d + "/v.npy", seconds=3 / 60, fps=60)
+        mesh = FaceMesh.load(obj)
+        verts = np.load(vp)
+    r = Renderer(mesh)
+    fast = r._render_frames_fast(verts)
+    assert len(fast) == len(verts)
+    for i in range(len(verts)):
+        slow = r._render_frame(verts[i])
+        assert fast[i].shape == slow.shape and fast[i].dtype == np.uint8
+        diff = np.abs(fast[i].astype(np.int32) - slow.astype(np.int32))
+        assert (diff.max(axis=-1) > 3).mean() < 0.01
+        # both must actually draw the face
+        assert (fast[i][:, :, 0] != 255).mean() > 0.05
+
+
+def test_fast_path_rejects_coarse_mesh_then_render_falls_back():
+    """Triangles bigger than every patch tier must raise in the fast path
+    and come out pixel-correct through render()'s banded fallback."""
+    import pytest
+
+    mesh = _double_triangle_mesh()
+    r = Renderer(mesh)
+    with pytest.raises(ValueError, match="banded"):
+        r._render_frames_fast(np.stack([mesh.verts]))
+    images = r.render(np.stack([mesh.verts]))
+    ref = r._render_frame(mesh.verts)
+    np.testing.assert_array_equal(images[0], ref)
+
+
+def test_fast_path_nan_frame_renders_background():
+    """A NaN frame renders as background in both paths (the banded path's
+    empty-triangle early-out; the fast path's culled contributions)."""
+    import tempfile
+
+    from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+
+    with tempfile.TemporaryDirectory() as d:
+        mesh = FaceMesh.load(generate_synthetic_face_obj(d + "/face.obj"))
+    r = Renderer(mesh)
+    bad = np.full_like(np.asarray(mesh.verts, np.float32), np.nan)
+    fast = r._render_frames_fast(np.stack([mesh.verts, bad]))
+    assert (fast[1] == 255).all()
+    assert (fast[0][:, :, 0] != 255).mean() > 0.05
+
+
 def test_images_to_video_and_audio(tmp_path):
     img = np.full((64, 64, 3), 255, np.uint8)
     path = images_to_video([img, img, img], str(tmp_path), fps=30)
