@@ -124,9 +124,15 @@ def test_faceformer_batched_padded_decode(pair):
             variables, jnp.asarray(a2), jnp.asarray(one_hot[1:]), jnp.asarray(template[1:])
         )
     )
-    # interior frames (away from the encoder's padded tail) must agree
-    err = np.abs(out[1, : n2 - 2] - solo[0, : n2 - 2]).max()
-    assert err < 5e-3, f"batched vs solo err {err}"
+    # ALL valid frames must meet the repo-wide 1e-4 vertex bar. The masked
+    # conv/group-norm stats, per-item fps interp, and kv_lengths attention
+    # masking make the padded path agree with solo to ~5e-7 measured (the
+    # only seed of divergence left is f32-on-device vs f64-on-host interp
+    # weights, ~3e-6 at the latents, attenuated by the 0.02-scale vertex
+    # head). No interior-only carve-out: the conv tail sees only explicit
+    # zeros, which VALID convs never mix into valid latents.
+    err = np.abs(out[1, :n2] - solo[0]).max()
+    assert err < 1e-4, f"batched vs solo err {err}"
 
 
 def test_faceformer_train_grad():
