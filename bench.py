@@ -569,6 +569,7 @@ def bench_render(n_frames: int = 64):
         FRAME_BATCH,
         PATCH_TIERS,
         Renderer,
+        render_frames_tiled,
         render_frames_u8,
     )
 
@@ -581,27 +582,40 @@ def bench_render(n_frames: int = 64):
         verts = np.load(verts_path)[:n_frames]
 
     renderer = Renderer(mesh)
-    patch_h, patch_w = PATCH_TIERS[0]
     vd = jnp.asarray(verts[:FRAME_BATCH], jnp.float32)
-    step = lambda v: render_frames_u8(  # noqa: E731
-        v, renderer._faces_padded, renderer._face_valid, renderer.lights,
-        patch_h=patch_h, patch_w=patch_w,
-    )
-    # The fit flag must hold or the timed step measures an incomplete render
-    # (triangles larger than the tier-0 patch are dropped by the fast path).
-    _, step_fit = step(vd)
-    assert bool(np.asarray(step_fit).all()), (
-        "bench mesh needs a larger patch tier; frames/sec would be bogus"
-    )
-    wall = timed(lambda: step(vd)[0], n=10)
+    if jax.default_backend() == "tpu":
+        # Pallas tile rasterizer: exact at any triangle size, no fit flag
+        step = lambda v: render_frames_tiled(  # noqa: E731
+            v, renderer._faces_padded, renderer._face_valid, renderer.lights,
+        )
+        step(vd).block_until_ready()
+        wall = timed(lambda: step(vd), n=10)
+    else:
+        # scatter path: find the first patch tier that holds every frame so
+        # the timed step measures a COMPLETE render (tier 0 drops the bench
+        # mesh's largest triangles; timing it would overstate frames/sec)
+        for patch_h, patch_w in PATCH_TIERS:
+            step = lambda v: render_frames_u8(  # noqa: E731
+                v, renderer._faces_padded, renderer._face_valid,
+                renderer.lights, patch_h=patch_h, patch_w=patch_w,
+            )
+            _, step_fit = step(vd)
+            if bool(np.asarray(step_fit).all()):
+                break
+        else:
+            raise AssertionError(
+                "bench mesh fits no patch tier; frames/sec would be bogus"
+            )
+        wall = timed(lambda: step(vd)[0], n=10)
     fps = FRAME_BATCH / wall
 
     tic = time.perf_counter()
     images = renderer.render(verts)
     e2e_wall = time.perf_counter() - tic
     assert len(images) == n_frames
+    on_tpu = jax.default_backend() == "tpu"
     return {
-        "metric": "offscreen render (batched scatter-max rasterizer, "
+        "metric": "offscreen render (Pallas tile rasterizer, "
                   "800x800, 5023-vert mesh)",
         "value": round(fps, 1),
         "unit": "frames/sec",
@@ -610,6 +624,7 @@ def bench_render(n_frames: int = 64):
             "n_frames": n_frames,
             "device_ms_per_frame": round(wall / FRAME_BATCH * 1e3, 3),
             "e2e_fps_incl_transfers": round(n_frames / e2e_wall, 1),
+            "path": "tiled" if on_tpu else "scatter",
             "backend": jax.default_backend(),
         },
     }

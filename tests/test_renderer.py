@@ -135,6 +135,81 @@ def test_fast_path_nan_frame_renders_background():
     assert (fast[0][:, :, 0] != 255).mean() > 0.05
 
 
+def test_tiled_rasterizer_matches_banded():
+    """The Pallas tile rasterizer (interpret mode on CPU) must agree with
+    the exact banded path to the same tolerance as the scatter path (z keys
+    quantized to 22 bits; fp-association differences flip a handful of
+    silhouette pixels)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+    from audio2face_tpu.utils.renderer import render_frames_tiled
+
+    with tempfile.TemporaryDirectory() as d:
+        mesh = FaceMesh.load(generate_synthetic_face_obj(d + "/face.obj"))
+    r = Renderer(mesh)
+    verts = np.asarray(mesh.verts, np.float32)
+    imgs = np.asarray(
+        render_frames_tiled(
+            jnp.asarray(verts[None]), r._faces_padded, r._face_valid,
+            r.lights, interpret=True,
+        )
+    )
+    slow = r._render_frame(verts)
+    fast = np.repeat(imgs[0][..., None], 3, axis=2)
+    diff = np.abs(fast.astype(np.int32) - slow.astype(np.int32))
+    assert (diff.max(axis=-1) > 3).mean() < 0.01
+    assert (fast[:, :, 0] != 255).mean() > 0.05
+
+
+def test_tiled_rasterizer_nan_and_degenerate():
+    """NaN frames render as background; zero-area triangles draw nothing
+    (the scatter path's inv_area=0 convention marks every bbox pixel
+    'inside' — the tile rasterizer culls them instead, because its chunk
+    bboxes would turn that latent artifact into a visible one)."""
+    import jax.numpy as jnp
+
+    from audio2face_tpu.ops.rasterizer import TRI_CHUNK
+    from audio2face_tpu.utils.renderer import render_frames_tiled
+
+    # one real triangle + one degenerate (collinear) triangle
+    verts = np.array(
+        [
+            [-0.05, -0.05, 0.5], [0.05, -0.05, 0.5], [0.0, 0.05, 0.5],
+            [-0.08, 0.08, 0.4], [0.0, 0.08, 0.4], [0.08, 0.08, 0.4],
+        ],
+        np.float32,
+    )
+    faces = np.zeros((TRI_CHUNK, 3), np.int32)
+    faces[0] = [0, 1, 2]
+    faces[1] = [3, 4, 5]  # collinear -> zero area
+    valid = np.zeros(TRI_CHUNK, bool)
+    valid[:2] = True
+    lights = jnp.asarray(light_positions())
+
+    imgs = np.asarray(
+        render_frames_tiled(
+            jnp.asarray(np.stack([verts, np.full_like(verts, np.nan)])),
+            jnp.asarray(faces), jnp.asarray(valid), lights, interpret=True,
+        )
+    )
+    assert (imgs[0] != 255).any()  # the real triangle drew
+    assert (imgs[1] == 255).all()  # NaN frame is pure background
+    # the image with the degenerate triangle included must equal the image
+    # with it excluded: zero-area geometry contributes nothing
+    valid_solo = valid.copy()
+    valid_solo[1] = False
+    solo = np.asarray(
+        render_frames_tiled(
+            jnp.asarray(verts[None]), jnp.asarray(faces),
+            jnp.asarray(valid_solo), lights, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(imgs[0], solo[0])
+
+
 def test_images_to_video_and_audio(tmp_path):
     img = np.full((64, 64, 3), 255, np.uint8)
     path = images_to_video([img, img, img], str(tmp_path), fps=30)
