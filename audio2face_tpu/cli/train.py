@@ -50,10 +50,18 @@ def main() -> None:
         "drops ~k-fold; Lightning's accumulate_grad_batches semantics; "
         "default: the config's accumulate_grad_batches key, else 1)",
     )
+    parser.add_argument(
+        "--batch-size", type=int, default=None,
+        help="override the config's batch size AFTER the reference "
+        "faceformer override (which pins it to 1, train.py:30-34) — "
+        "padded whole-clip batching is this framework's extension",
+    )
     args = parser.parse_args()
 
     dataset_path = args.dataset_path or os.path.join(os.getcwd(), "..")
     config = ExpConfig.from_yaml(args.config).apply_faceformer_overrides()
+    if args.batch_size:
+        config = config.model_copy(update={"batch_size": args.batch_size})
 
     if not args.skip_render and not os.path.exists(args.template):
         from audio2face_tpu.data.synthetic import generate_synthetic_face_obj

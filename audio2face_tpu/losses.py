@@ -117,3 +117,115 @@ def mse_error(
         return jnp.mean(per_item)
     mask = frame_mask.reshape(-1)
     return jnp.sum(per_item * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def chunked_faceformer_head_loss(
+    hs: jnp.ndarray,  # (B, T, 64) decoder hidden states
+    kernel: jnp.ndarray,  # (64, 3V) vertice_map_r
+    bias: jnp.ndarray,  # (3V,)
+    template: jnp.ndarray,  # (B, V, 3), training units
+    gt: jnp.ndarray,  # (B, T, V, 3), training units
+    frame_mask: jnp.ndarray,  # (B, T)
+    *,
+    n_verts: int,
+    precision=None,
+    chunk: int = 128,
+):
+    """``masked_faceformer_loss`` + ``mse_error`` WITHOUT materializing the
+    (B, T, V, 3) prediction.
+
+    The vertex head is a row-parallel matmul and every loss term is a sum
+    over frames (velocity pairs are the reference's NON-overlapping
+    (0,1), (2,3), ... grouping, src/loss/loss.py:31-40), so an even-sized
+    frame chunking decomposes both exactly: each checkpointed scan step
+    projects ``chunk`` frames, accumulates the masked sums, and the
+    backward rematerializes one chunk of vertices at a time. Peak memory
+    is O(B * chunk * V) instead of O(B * T * V) — the difference between
+    batch-16 whole-clip FaceFormer training fitting in HBM or not.
+
+    Returns ``({"loss", "rec_loss", "vel_loss"}, err)`` equal (up to f32
+    summation order) to the unchunked pair.
+    """
+    import jax
+
+    b, t, d = hs.shape
+    # chunk must be even (velocity pairs may not straddle chunks) and must
+    # DIVIDE the even prefix exactly: padding gt to a chunk multiple would
+    # copy the very (B, T, V, 3)-scale buffer this function exists to avoid.
+    # An odd trailing frame is handled separately below (it can never be in
+    # a velocity pair — the reference drops it from pairing, loss.py:13-16).
+    t_even = (t // 2) * 2
+    c = min(chunk, max(t_even, 2))
+    while t_even % c or c % 2:
+        c -= 1  # terminates at 2 (t_even is even); static python
+    chunk = c
+    nc = max(t_even // chunk, 1)
+
+    tmpl_flat = template.reshape(b, 1, -1)
+
+    def head(hsc):
+        p = (
+            jnp.matmul(hsc.reshape(-1, d), kernel, precision=precision) + bias
+        ).reshape(b, hsc.shape[1], -1)
+        return (p.astype(jnp.float32) + tmpl_flat).reshape(
+            b, hsc.shape[1], n_verts, 3
+        )
+
+    def body(carry, i):
+        rec_n, m_n, vel_n, vm_n, err_n = carry
+        # slice chunks in-body: a (nc, B, chunk, V, 3) transpose of gt would
+        # be a second full-size copy of the largest array in the step —
+        # exactly the buffer this function exists to avoid
+        hsc = jax.lax.dynamic_slice_in_dim(hs, i * chunk, chunk, axis=1)
+        gtc = jax.lax.dynamic_slice_in_dim(gt, i * chunk, chunk, axis=1)
+        mc = jax.lax.dynamic_slice_in_dim(frame_mask, i * chunk, chunk, axis=1)
+        pred = head(hsc)
+        gtc = gtc.astype(jnp.float32)
+
+        sq = jnp.sum(jnp.square(pred - gtc), axis=-1)  # (B, chunk, V)
+        per_frame = jnp.mean(sq, axis=-1)
+        rec_n = rec_n + jnp.sum(per_frame * mc)
+        m_n = m_n + jnp.sum(mc)
+
+        v_pred = pred[:, 1::2] - pred[:, 0::2]
+        v_gt = gtc[:, 1::2] - gtc[:, 0::2]
+        vmask = mc[:, 1::2] * mc[:, 0::2]
+        vsq = jnp.mean(jnp.sum(jnp.square(v_pred - v_gt), axis=-1), axis=-1)
+        vel_n = vel_n + jnp.sum(vsq * vmask)
+        vm_n = vm_n + jnp.sum(vmask)
+
+        per_item = jnp.mean(
+            jnp.square(pred.reshape(b, chunk, -1) - gtc.reshape(b, chunk, -1)),
+            axis=-1,
+        )
+        err_n = err_n + jnp.sum(per_item * mc)
+        return (rec_n, m_n, vel_n, vm_n, err_n), None
+
+    zeros = tuple(jnp.zeros((), jnp.float32) for _ in range(5))
+    (rec_n, m_n, vel_n, vm_n, err_n), _ = jax.lax.scan(
+        jax.checkpoint(body), zeros, jnp.arange(nc)
+    )
+    if t_even < t:  # odd trailing frame: rec + err terms only, never paired
+        pred_t = head(hs[:, t_even:t])
+        gt_t = gt[:, t_even:t].astype(jnp.float32)
+        m_t = frame_mask[:, t_even:t]
+        sq_t = jnp.sum(jnp.square(pred_t - gt_t), axis=-1)
+        rec_n = rec_n + jnp.sum(jnp.mean(sq_t, axis=-1) * m_t)
+        m_n = m_n + jnp.sum(m_t)
+        per_item_t = jnp.mean(
+            jnp.square(pred_t.reshape(b, 1, -1) - gt_t.reshape(b, 1, -1)),
+            axis=-1,
+        )
+        err_n = err_n + jnp.sum(per_item_t * m_t)
+    denom = jnp.maximum(m_n, 1.0)
+    vdenom = jnp.maximum(vm_n, 1.0)
+    rec_loss = rec_n / denom
+    vel_loss = vel_n / vdenom
+    return (
+        {
+            "loss": rec_loss + 10.0 * vel_loss,
+            "rec_loss": rec_loss,
+            "vel_loss": vel_loss,
+        },
+        err_n / denom,
+    )

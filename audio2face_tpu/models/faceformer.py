@@ -45,7 +45,6 @@ from flax import linen as nn
 
 from audio2face_tpu.models.layers import dot_precision
 from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
-from audio2face_tpu.ops.attention import decode_step_attention
 from audio2face_tpu.ops.dsp import wav2vec2_zero_mean_unit_var
 
 FEATURE_DIM = 64
@@ -111,22 +110,20 @@ def select_decode_impl(
     past ~2.3 min, single-stream past ~9 min) fall back to the scan, which
     is correct at any length. An EXPLICIT decode_impl="fused" is honored
     as requested; the kernel raises a capacity ValueError at trace time
-    rather than dying in a Mosaic OOM. BIWI mode always scans: its cross
-    attention is a true 2-way softmax per step, which the fused kernel's
-    hoisted weight-1 cross term cannot express."""
+    rather than dying in a Mosaic OOM. BIWI mode runs the kernel's 2-way
+    cross-softmax variant (its mem_k/mem_v buffers are 2T-high, so its
+    VMEM ceiling arrives at shorter clips)."""
     if train:
         return "scan"
-    if dataset != "vocaset":
-        if decode_impl == "fused":
-            raise ValueError(
-                f"decode_impl='fused' supports only dataset='vocaset' "
-                f"(diagonal cross attention); got dataset={dataset!r}"
-            )
-        return "scan"
+    biwi = dataset == "biwi"
     if decode_impl is None:
         from audio2face_tpu.ops.decode_kernel import fits_vmem
 
-        return "fused" if (backend == "tpu" and fits_vmem(batch, n_frames)) else "scan"
+        return (
+            "fused"
+            if (backend == "tpu" and fits_vmem(batch, n_frames, biwi=biwi))
+            else "scan"
+        )
     return decode_impl
 
 
@@ -134,7 +131,12 @@ class FaceFormer(nn.Module):
     n_verts: int
     n_onehot: int
     dtype: jnp.dtype | None = None
-    remat_scan: bool = True
+    # checkpoint the decode scan at chunk granularity in training (sqrt
+    # remat over the frame axis — see the scan construction). False turns
+    # the chunk checkpoint off (residuals for every step of every chunk are
+    # kept; only viable for small B*T^2). True/None both mean the default
+    # chunked checkpointing.
+    remat_scan: Optional[bool] = None
     # "scan" | "fused" | None (auto: fused Pallas mega-kernel for inference
     # on TPU — the whole decode loop runs in one kernel with VMEM-resident
     # KV caches; training always uses the differentiable scan)
@@ -300,7 +302,6 @@ class FaceFormer(nn.Module):
             periodic_positional_encoding(self.period), dtype=compute_dtype
         )
 
-        cache_shape = (bsz, N_HEADS, n_frames, hd)
 
         decode_impl = select_decode_impl(
             self.decode_impl, train=train, backend=jax.default_backend(),
@@ -309,57 +310,111 @@ class FaceFormer(nn.Module):
         if decode_impl == "fused" and not train:
             from audio2face_tpu.ops.decode_kernel import faceformer_decode_loop
 
+            kernel_weights = {
+                "q_kernel": q_k, "q_bias": q_b,
+                "k_kernel": k_k, "k_bias": k_b,
+                "v_kernel": v_k, "v_bias": v_b,
+                "o_kernel": o_k, "o_bias": o_b,
+                "f1_kernel": f1_k, "f1_bias": f1_b,
+                "f2_kernel": f2_k, "f2_bias": f2_b,
+                "fb_kernel": fb_k, "fb_bias": fb_b,
+                "ln1_scale": ln1[0], "ln1_bias": ln1[1],
+                "ln2_scale": ln2[0], "ln2_bias": ln2[1],
+                "ln3_scale": ln3[0], "ln3_bias": ln3[1],
+            }
+            if biwi:
+                kernel_weights.update(
+                    cq_kernel=cq_k, cq_bias=cq_b, co_kernel=co_kc, co_bias=co_bc
+                )
             hs = faceformer_decode_loop(
-                cross, style, pe,
-                {
-                    "q_kernel": q_k, "q_bias": q_b,
-                    "k_kernel": k_k, "k_bias": k_b,
-                    "v_kernel": v_k, "v_bias": v_b,
-                    "o_kernel": o_k, "o_bias": o_b,
-                    "f1_kernel": f1_k, "f1_bias": f1_b,
-                    "f2_kernel": f2_k, "f2_bias": f2_b,
-                    "fb_kernel": fb_k, "fb_bias": fb_b,
-                    "ln1_scale": ln1[0], "ln1_bias": ln1[1],
-                    "ln2_scale": ln2[0], "ln2_bias": ln2[1],
-                    "ln3_scale": ln3[0], "ln3_bias": ln3[1],
-                },
+                None if biwi else cross, style, pe, kernel_weights,
                 period=self.period,
                 fast_math=self.dtype is not None,
+                mem_k=mem_k if biwi else None,
+                mem_v=mem_v if biwi else None,
             )
             if return_hidden:
                 return self._hidden_out(hs, n_frames, frame_lengths, lengths)
             return self._vertex_head(hs, vmr_k, vmr_b, template, bsz, n_frames, frame_lengths, lengths)
 
-        dropout_rng = self.make_rng("dropout") if train else None
+        # ---- per-step inputs hoisted out of the scan ---------------------
+        # Every per-step gather/RNG the loop body used to do is precomputed
+        # as scan xs: the PPE row, the cross term, and (training) the five
+        # dropout keep-masks. Inside a 600-step scan each threefry bernoulli
+        # and dynamic_index costs real per-iteration latency; as xs they are
+        # one fused vectorized pass and the scan slices them for free.
+        ts = jnp.arange(n_frames)
+        xs = {"t": ts, "pe": pe[ts % self.period]}  # (T,), (T, 64)
+        if biwi:
+            # latents {2t, 2t+1} per step: (B, H, 2T, hd) -> (T, B, H, 2, hd)
+            xs["mem_k"] = mem_k.reshape(
+                bsz, N_HEADS, n_frames, 2, hd
+            ).transpose(2, 0, 1, 3, 4)
+            xs["mem_v"] = mem_v.reshape(
+                bsz, N_HEADS, n_frames, 2, hd
+            ).transpose(2, 0, 1, 3, 4)
+        else:
+            xs["cross"] = jnp.swapaxes(cross, 0, 1)  # (T, B, 64)
+        if train:
+            r = jax.random.split(self.make_rng("dropout"), 5)
 
-        def drop(rng, x, p=0.1):
-            keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
-            return jnp.where(keep, x / (1.0 - p), 0.0)
+            def keep(rng, shape, p=0.1):
+                m = jax.random.bernoulli(rng, 1.0 - p, shape)
+                return (m / (1.0 - p)).astype(compute_dtype)
+
+            # PPE dropout (faceformer.py:72,86-88); torch decoder-layer
+            # dropout1/dropout2, FFN inner, dropout3
+            xs["m_pe"] = keep(r[0], (n_frames, bsz, d))
+            xs["m_sa"] = keep(r[1], (n_frames, bsz, d))
+            xs["m_ca"] = keep(r[2], (n_frames, bsz, d))
+            xs["m_ff1"] = keep(r[3], (n_frames, bsz, 2 * d))
+            xs["m_ff2"] = keep(r[4], (n_frames, bsz, d))
+
+        # fused QKV projection: one (B, 64) @ (64, 192) per step
+        qkv_k = jnp.concatenate([q_k, k_k, v_k], axis=1)
+        qkv_b = jnp.concatenate([q_b, k_b, v_b])
+
+        # slopes/positions for the in-step attention (semantics identical to
+        # ops.attention.decode_step_attention, inlined over the combined
+        # (B, T, 2*64) KV carry — see layout note at `init` below)
+        from audio2face_tpu.ops.attention import DEFAULT_MASK_VALUE, alibi_slopes
+
+        slopes = jnp.asarray(alibi_slopes(N_HEADS))
+        pos_j = jnp.arange(n_frames)
 
         def step(carry, xt):
-            emb, k_cache, v_cache = carry
-            t, step_rng = xt
-            x = emb + pe[t % self.period]  # (B, 64)
+            emb, kv_cache = carry
+            t = xt["t"]
+            x = emb + xt["pe"]  # (B, 64)
             if train:
-                r = jax.random.split(step_rng, 5)
-                x = drop(r[0], x)  # PPE dropout (faceformer.py:72,86-88)
+                x = x * xt["m_pe"]
 
-            q = (mm(x, q_k) + q_b).reshape(bsz, N_HEADS, hd)
-            k = (mm(x, k_k) + k_b).reshape(bsz, N_HEADS, hd)
-            v = (mm(x, v_k) + v_b).reshape(bsz, N_HEADS, hd)
-            k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, k, t, axis=2)
-            v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, v, t, axis=2)
-
-            attn = decode_step_attention(q, k_cache, v_cache, t, alibi_period=self.period)
+            qkv = mm(x, qkv_k) + qkv_b  # (B, 192); lanes are h*hd + i
+            q = qkv[:, :d].reshape(bsz, N_HEADS, hd)
+            kv_cache = jax.lax.dynamic_update_index_in_dim(
+                kv_cache, qkv[:, d:], t, axis=1
+            )
+            kmat = kv_cache[..., :d].reshape(bsz, n_frames, N_HEADS, hd)
+            vmat = kv_cache[..., d:].reshape(bsz, n_frames, N_HEADS, hd)
+            s = jnp.einsum(
+                "bhd,bthd->bht", q, kmat,
+                preferred_element_type=jnp.float32, precision=prec,
+            ) * (1.0 / math.sqrt(hd))
+            dist = jnp.floor_divide(t - pos_j, self.period).astype(jnp.float32)
+            s = s - slopes[None, :, None] * dist[None, None, :]
+            s = jnp.where(pos_j[None, None, :] <= t, s, DEFAULT_MASK_VALUE)
+            p = jax.nn.softmax(s, axis=-1)
+            attn = jnp.einsum(
+                "bht,bthd->bhd", p.astype(vmat.dtype), vmat, precision=prec
+            )
             sa = mm(attn.reshape(bsz, d), o_k) + o_b
             if train:
-                sa = drop(r[1], sa)  # torch decoder-layer dropout1
+                sa = sa * xt["m_sa"]
             h = layer_norm(x + sa, ln1)
             if biwi:
                 # 2-way cross softmax over latents {2t, 2t+1}
                 qc = (mm(h, cq_k) + cq_b).reshape(bsz, N_HEADS, 1, hd)
-                k2 = jax.lax.dynamic_slice_in_dim(mem_k, 2 * t, 2, axis=2)
-                v2 = jax.lax.dynamic_slice_in_dim(mem_v, 2 * t, 2, axis=2)
+                k2, v2 = xt["mem_k"], xt["mem_v"]
                 scores = jnp.einsum(
                     "bhqe,bhke->bhqk", qc, k2, precision=prec
                 ) / math.sqrt(hd)
@@ -369,36 +424,55 @@ class FaceFormer(nn.Module):
                 ca_h = jnp.einsum("bhqk,bhke->bhqe", w, v2, precision=prec)
                 ca = mm(ca_h.reshape(bsz, d), co_kc) + co_bc
             else:
-                # cross term is indexed from the precomputed projection
-                ca = jax.lax.dynamic_index_in_dim(cross, t, axis=1, keepdims=False)
+                ca = xt["cross"]
             if train:
-                ca = drop(r[2], ca)  # dropout2
+                ca = ca * xt["m_ca"]
             h = layer_norm(h + ca, ln2)
             ff = jnp.maximum(mm(h, f1_k) + f1_b, 0.0)
             if train:
-                ff = drop(r[3], ff)  # FFN inner dropout
+                ff = ff * xt["m_ff1"]
             ff = mm(ff, f2_k) + f2_b
             if train:
-                ff = drop(r[4], ff)  # dropout3
+                ff = ff * xt["m_ff2"]
             h = layer_norm(h + ff, ln3)
 
             emb_next = mm(h, fb_k) + fb_b + style
-            return (emb_next, k_cache, v_cache), h
+            return (emb_next, kv_cache), h
 
-        if train and self.remat_scan:
-            step = jax.checkpoint(step)
-
+        # combined lane-exact KV carry: (B, T, 128) — the k/v halves pack on
+        # the 128-lane axis with ZERO tile padding. Differentiating a scan
+        # stacks the carry per step as a residual, so carry layout is the
+        # whole memory story: the previous (B, H, T, hd) pair stacked to
+        # bf16[T, B, 4, T, 16] — an 8x tile-padding blowup (trailing dim
+        # 16), 8.2 GB at bs=12 x 600 frames.
         init = (
             style,  # emb_0 = obj embedding (faceformer.py:156-157)
-            jnp.zeros(cache_shape, compute_dtype),
-            jnp.zeros(cache_shape, compute_dtype),
+            jnp.zeros((bsz, n_frames, 2 * d), compute_dtype),
         )
-        ts = jnp.arange(n_frames)
         if train:
-            step_rngs = jax.random.split(dropout_rng, n_frames)
+            # sqrt-remat over the frame axis: an outer scan over chunks
+            # checkpoints at CHUNK granularity, so the O(T) per-step carries
+            # live only transiently inside one chunk's backward recompute —
+            # residual memory is O(T^2/chunk) instead of O(T^2). This is
+            # what makes long-clip (60 s+) and large-batch whole-clip
+            # training fit HBM at all.
+            c = min(64, n_frames)
+            while c > 1 and n_frames % c:
+                c -= 1
+            n_chunks = n_frames // c
+            xs_c = jax.tree.map(
+                lambda a: a.reshape((n_chunks, c) + a.shape[1:]), xs
+            )
+
+            def chunk_body(carry, xsc):
+                return jax.lax.scan(step, carry, xsc)
+
+            if self.remat_scan is not False:
+                chunk_body = jax.checkpoint(chunk_body)
+            (_, _), hs = jax.lax.scan(chunk_body, init, xs_c)
+            hs = hs.reshape((n_frames,) + hs.shape[2:])
         else:
-            step_rngs = jnp.zeros((n_frames, 2), jnp.uint32)
-        (_, _, _), hs = jax.lax.scan(step, init, (ts, step_rngs))
+            (_, _), hs = jax.lax.scan(step, init, xs)
         hs = jnp.swapaxes(hs, 0, 1)  # (B, T, 64)
         if return_hidden:
             return self._hidden_out(hs, n_frames, frame_lengths, lengths)

@@ -360,9 +360,17 @@ class Wav2Vec2Encoder(nn.Module):
     ):
         cfg = self.config
         # the fused conv kernel is inference-only (no VJP); training takes
-        # the differentiable XLA conv path
-        h = FeatureEncoder(cfg, dtype=self.dtype, name="feature_encoder")(
-            input_values, lengths, use_pallas=False if train else use_pallas
+        # the differentiable XLA conv path, REMATERIALIZED in the backward:
+        # the 7 conv layers' saved activations are the single largest
+        # training buffer (~(B, L/5, 512) at the top layer — ~1 GB at
+        # bs=16 x 10 s) while their recompute is a few ms of MXU work
+        fe_cls = (
+            nn.remat(FeatureEncoder, static_argnums=(3,))
+            if train
+            else FeatureEncoder
+        )
+        h = fe_cls(cfg, dtype=self.dtype, name="feature_encoder")(
+            input_values, lengths, False if train else use_pallas
         )
 
         feat_lengths = None

@@ -153,9 +153,38 @@ def mha_reference(
 # ---------------------------------------------------------------------------
 
 
+def _dropout_keep_tile(seed, bh, row, col, rate):
+    """Deterministic per-position dropout keep-multiplier tile.
+
+    A counter-based integer hash of (seed, batch*head, global row, global
+    col) — murmur3-style finalizer over plain int32 vector ops, so the SAME
+    mask is regenerated exactly in the forward and both backward kernels
+    from coordinates alone (no block-size coupling, no saved mask tensor)
+    and the code runs identically under the CPU interpreter (the TPU-native
+    ``pltpu.prng_*`` has no interpret lowering). Returns 0 or 1/(1-rate)
+    as f32. Quality is ample for dropout: 3 avalanche rounds over a 96-bit
+    counter.
+    """
+    h = (
+        row * jnp.int32(-1640531527)  # 0x9E3779B9 (golden-ratio odd)
+        ^ col * jnp.int32(-2048144789)  # 0x85EBCA6B (murmur3 c1)
+        ^ (seed + bh * jnp.int32(-1028477387))  # 0xC2B2AE35 (murmur3 c2)
+    )
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(0x7FEB352D)
+    h = h ^ jax.lax.shift_right_logical(h, 15)
+    h = h * jnp.int32(-2090600430)  # 0x835A13CB
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    # uniform in [0, 2^31) after clearing the sign bit
+    u = h & jnp.int32(0x7FFFFFFF)
+    thr = jnp.int32(min(int(rate * float(1 << 31)), (1 << 31) - 1))
+    return jnp.where(u >= thr, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+
+
 def _flash_kernel(
     kvlen_ref,  # SMEM (B*H,) int32  [scalar prefetch]
     slope_ref,  # SMEM (B*H,) f32    [scalar prefetch]
+    seed_ref,  # SMEM (1,) int32    [scalar prefetch; dropout hash seed]
     q_ref,  # VMEM (1, block_q, d_pad)
     k_ref,  # VMEM (1, block_k, d_pad)
     v_ref,  # VMEM (1, block_k, d_pad)
@@ -175,6 +204,7 @@ def _flash_kernel(
     precision: jax.lax.Precision,
     may_mask: bool,
     q_chunks: int = 1,
+    dropout_rate: float = 0.0,
 ):
     bh = pl.program_id(0)
     iq = pl.program_id(1)
@@ -222,8 +252,22 @@ def _flash_kernel(
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
             l_new = alpha * l_scr[sl, :1] + jnp.sum(p, axis=1, keepdims=True)
+            if dropout_rate > 0.0:
+                # torch semantics: dropout on the NORMALIZED probabilities,
+                # i.e. the softmax denominator (l) sums undropped p while
+                # the value accumulation uses the masked p
+                r_ = (
+                    iq * block_q + r0
+                    + jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
+                )
+                c_ = ik * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, block_k), 1
+                )
+                pv = p * _dropout_keep_tile(seed_ref[0], bh, r_, c_, dropout_rate)
+            else:
+                pv = p
             acc_scr[sl] = acc_scr[sl] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype),
+                pv.astype(v.dtype),
                 v,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -309,11 +353,18 @@ def flash_attention_pallas(
     q_chunks: int = 1,
     interpret: bool = False,
     return_lse: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Pallas flash attention. q,k,v: (B, H, Tq/Tk, D) -> (B, H, Tq, D).
 
     ``return_lse`` additionally returns the per-row logsumexp (B, H, Tq) —
-    the residual the Pallas backward needs."""
+    the residual the Pallas backward needs.
+
+    ``dropout_rate``/``dropout_seed`` apply torch-style attention-probability
+    dropout in-kernel: each position's keep bit is a deterministic hash of
+    (seed, batch*head, row, col), so the backward kernels regenerate the
+    identical mask from coordinates — nothing (T, T)-sized ever exists."""
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
     if sm_scale is None:
@@ -379,10 +430,16 @@ def flash_attention_pallas(
         # masking work is skipped entirely when no key can be invalid
         may_mask=kv_lengths is not None or t_k_pad != t_k,
         q_chunks=q_chunks,
+        dropout_rate=dropout_rate,
+    )
+    seed = (
+        jnp.zeros((1,), jnp.int32)
+        if dropout_seed is None
+        else dropout_seed.reshape(1).astype(jnp.int32)
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b * h, n_q_blocks, n_k_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ik, *refs: (bh, iq, 0)),
@@ -421,7 +478,7 @@ def flash_attention_pallas(
             transcendentals=b * h * t_q * t_k,
         ),
         interpret=interpret,
-    )(kvlen_bh, slopes_bh, qf, kf, vf)
+    )(kvlen_bh, slopes_bh, seed, qf, kf, vf)
 
     out = out.reshape(b, h, t_q_pad, d_pad)[:, :, :t_q, :d]
     if return_lse:
@@ -452,7 +509,7 @@ def _bias_and_mask(s, row, col, kvlen, slope, *, causal, alibi_period, may_mask)
 
 
 def _flash_bwd_dkdv_kernel(
-    kvlen_ref, slope_ref,
+    kvlen_ref, slope_ref, seed_ref,
     q_ref,  # (1, block_q, d_pad)
     k_ref,  # (1, block_k, d_pad)
     v_ref,  # (1, block_k, d_pad)
@@ -464,7 +521,7 @@ def _flash_bwd_dkdv_kernel(
     dk_scr, dv_scr,
     *,
     causal, alibi_period, sm_scale, block_q, block_k, n_q_blocks, precision, may_mask,
-    q_len,
+    q_len, dropout_rate=0.0,
 ):
     bh = pl.program_id(0)
     ik = pl.program_id(1)
@@ -507,15 +564,25 @@ def _flash_bwd_dkdv_kernel(
             # zero but inf * 0 = NaN, so zero p explicitly
             p = jnp.where(row < q_len, p, 0.0)
 
-        # dv += p^T dO ; ds = p * (dO v^T - D) * scale ; dk += ds^T q
+        # dv += (m.p)^T dO ; ds = p * (m.(dO v^T) - D) * scale ; dk += ds^T q
+        # (m = dropout keep-multiplier; with dropout, out = (m.P) V so
+        # D = rowsum(dO * out) already equals sum_k P m dp — the delta
+        # term is unchanged, dp is masked, l/lse never see the mask)
+        if dropout_rate > 0.0:
+            m_keep = _dropout_keep_tile(seed_ref[0], bh, row, col, dropout_rate)
+            pv = p * m_keep
+        else:
+            pv = p
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pv.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if dropout_rate > 0.0:
+            dp = dp * m_keep
         ds = p * (dp - delta) * sm_scale
         dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -529,12 +596,13 @@ def _flash_bwd_dkdv_kernel(
 
 
 def _flash_bwd_dq_kernel(
-    kvlen_ref, slope_ref,
+    kvlen_ref, slope_ref, seed_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_scr,
     *,
     causal, alibi_period, sm_scale, block_q, block_k, n_k_blocks, precision, may_mask,
+    dropout_rate=0.0,
 ):
     bh = pl.program_id(0)
     iq = pl.program_id(1)
@@ -578,6 +646,8 @@ def _flash_bwd_dq_kernel(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        if dropout_rate > 0.0:
+            dp = dp * _dropout_keep_tile(seed_ref[0], bh, row, col, dropout_rate)
         ds = p * (dp - delta) * sm_scale
         dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -594,8 +664,13 @@ def flash_attention_bwd_pallas(
     *,
     causal=False, alibi_period=None, kv_lengths=None, sm_scale=None,
     block_q: int = 512, block_k: int = 512, interpret: bool = False,
+    dropout_rate: float = 0.0, dropout_seed: Optional[jnp.ndarray] = None,
 ):
-    """Pallas flash-attention backward: returns (dq, dk, dv)."""
+    """Pallas flash-attention backward: returns (dq, dk, dv).
+
+    With ``dropout_rate`` > 0 the kernels regenerate the forward's exact
+    keep mask from (dropout_seed, batch*head, row, col) — see
+    ``_dropout_keep_tile``."""
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
     if sm_scale is None:
@@ -646,10 +721,16 @@ def flash_attention_bwd_pallas(
         causal=causal, alibi_period=alibi_period, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, precision=precision,
         may_mask=kv_lengths is not None or t_k_pad != t_k,
+        dropout_rate=dropout_rate,
+    )
+    seed = (
+        jnp.zeros((1,), jnp.int32)
+        if dropout_seed is None
+        else dropout_seed.reshape(1).astype(jnp.int32)
     )
 
     dkdv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b * h, n_k_blocks, n_q_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda bh, ik, iq, *r: (bh, iq, 0)),
@@ -681,10 +762,10 @@ def flash_attention_bwd_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvlen_bh, slopes_bh, qf, kf, vf, dof, lse_f, delta)
+    )(kvlen_bh, slopes_bh, seed, qf, kf, vf, dof, lse_f, delta)
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b * h, n_q_blocks, n_k_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda bh, iq, ik, *r: (bh, iq, 0)),
@@ -705,7 +786,7 @@ def flash_attention_bwd_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kvlen_bh, slopes_bh, qf, kf, vf, dof, lse_f, delta)
+    )(kvlen_bh, slopes_bh, seed, qf, kf, vf, dof, lse_f, delta)
 
     def unpad_q(x):
         return x.reshape(b, h, t_q_pad, d_pad)[:, :, :t_q, :d]
@@ -729,9 +810,12 @@ def _on_tpu() -> bool:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 7, 8, 9)
 )
-def _flash_attention_ad(q, k, v, causal, alibi_period, kv_lengths, sm_scale, interpret):
+def _flash_attention_ad(
+    q, k, v, dropout_seed, causal, alibi_period, kv_lengths, sm_scale,
+    interpret, dropout_rate,
+):
     return flash_attention_pallas(
         q,
         k,
@@ -741,25 +825,31 @@ def _flash_attention_ad(q, k, v, causal, alibi_period, kv_lengths, sm_scale, int
         kv_lengths=kv_lengths,
         sm_scale=sm_scale,
         interpret=interpret,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
     )
 
 
-def _flash_fwd(q, k, v, causal, alibi_period, kv_lengths, sm_scale, interpret):
+def _flash_fwd(
+    q, k, v, dropout_seed, causal, alibi_period, kv_lengths, sm_scale,
+    interpret, dropout_rate,
+):
     out, lse = flash_attention_pallas(
         q, k, v, causal=causal, alibi_period=alibi_period,
         kv_lengths=kv_lengths, sm_scale=sm_scale, interpret=interpret,
-        return_lse=True,
+        return_lse=True, dropout_rate=dropout_rate, dropout_seed=dropout_seed,
     )
-    return out, (q, k, v, out, lse, kv_lengths)
+    return out, (q, k, v, dropout_seed, out, lse, kv_lengths)
 
 
-def _flash_bwd(causal, alibi_period, sm_scale, interpret, residuals, g):
-    q, k, v, out, lse, kv_lengths = residuals
+def _flash_bwd(causal, alibi_period, sm_scale, interpret, dropout_rate, residuals, g):
+    q, k, v, dropout_seed, out, lse, kv_lengths = residuals
     t_q, t_k = q.shape[2], k.shape[2]
     # short sequences: XLA's rematerialized backward is faster (kernel-launch
     # overhead dominates) and its (Tq, Tk) buffers are small. Long sequences:
-    # the Pallas kernels keep memory flat and win on time.
-    if t_q * t_k <= 1024 * 1024:
+    # the Pallas kernels keep memory flat and win on time. With dropout the
+    # Pallas kernels are the only path that can regenerate the forward's mask.
+    if dropout_rate == 0.0 and t_q * t_k <= 1024 * 1024:
 
         def ref(q, k, v):
             return mha_reference(
@@ -769,13 +859,14 @@ def _flash_bwd(causal, alibi_period, sm_scale, interpret, residuals, g):
 
         _, vjp = jax.vjp(ref, q, k, v)
         dq, dk, dv = vjp(g)
-        return dq, dk, dv, None
+        return dq, dk, dv, None, None
     dq, dk, dv = flash_attention_bwd_pallas(
         q, k, v, out, lse, g,
         causal=causal, alibi_period=alibi_period,
         kv_lengths=kv_lengths, sm_scale=sm_scale, interpret=interpret,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed,
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_attention_ad.defvjp(_flash_fwd, _flash_bwd)
@@ -798,27 +889,34 @@ def flash_attention(
     """Fused MHA. q,k,v: (B, H, T, D). Auto-selects the Pallas kernel on TPU
     and the XLA reference elsewhere (both are numerically equivalent).
 
-    Attention-probability dropout (train-time regularization) routes through
-    the XLA path: at training sequence lengths (<=600 frames) the (T, T)
-    probability tensor is small, and XLA fuses the mask — an in-kernel Pallas
-    RNG would buy nothing here."""
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        return mha_reference(
-            q, k, v, causal=causal, alibi_period=alibi_period,
-            kv_lengths=kv_lengths, sm_scale=sm_scale,
-            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
-        )
+    Attention-probability dropout (train-time regularization, torch
+    semantics) runs IN-KERNEL on the Pallas path: keep bits are a
+    deterministic hash of (seed, batch*head, row, col) regenerated by the
+    backward kernels, so training never materializes a (T, T) probability
+    or mask tensor (the XLA dropout path costs both the memory and ~40%
+    of the encoder's train step at T=600). Off-TPU, dropout uses the XLA
+    reference with jax.random (a different — equally valid — mask stream)."""
+    dropout_on = dropout_rate > 0.0 and dropout_rng is not None
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
+        if dropout_on:
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+            dropout_rate = 0.0
         return _flash_attention_ad(
-            q, k, v, causal, alibi_period, kv_lengths,
+            q, k, v, seed, causal, alibi_period, kv_lengths,
             sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1]),
-            interpret,
+            interpret, float(dropout_rate),
         )
     return mha_reference(
         q, k, v, causal=causal, alibi_period=alibi_period,
         kv_lengths=kv_lengths, sm_scale=sm_scale,
+        dropout_rate=dropout_rate if dropout_on else 0.0,
+        dropout_rng=dropout_rng,
     )
 
 

@@ -86,30 +86,44 @@ def _group_mask(b_block: int) -> np.ndarray:
 
 
 def _decode_kernel(
-    # inputs
-    cross_ref,  # (1, T_pad, BD)
-    style_ref,  # (1, 1, BD)
-    pe_ref,  # (period, BD) tiled
-    hmask_ref,  # (BD, NH_TOT)
-    hmask_t_ref,  # (NH_TOT, BD)
-    gproj_ref,  # (BD, BD) = gmask @ gmask.T / D — one-matmul grouped mean
-    slopes_ref,  # (1, NH_TOT)
-    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-    wf1_ref, bf1_ref, wf2_ref, bf2_ref, wfb_ref, bfb_ref,
-    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, ln3s_ref, ln3b_ref,
-    # outputs
-    o_ref,  # (1, T_pad, BD)
-    # scratch
-    k_scr,  # (T_pad, BD) f32
-    v_scr,  # (T_pad, BD) f32
-    *,
+    *refs,
     n_steps: int,
     t_pad: int,
     period: int,
     b_block: int,
     chunk: int,
     precision,
+    biwi: bool = False,
 ):
+    """Positional refs, in order:
+
+    vocaset: cross (1, T_pad, BD) | biwi: mem_k, mem_v (1, 2*T_pad2, BD)
+    then: style (1, 1, BD), pe (period, BD) tiled, hmask (BD, NH_TOT),
+    hmask_t, gproj (BD, BD), slopes (1, NH_TOT), wqkv, bqkv, wo, bo,
+    [biwi: wcq, bcq, wco, bco], wf1, bf1, wf2, bf2, wfb, bfb,
+    ln{1,2,3} scale/bias; outputs: o (1, T_pad, BD); scratch: k, v
+    (T_pad, BD) f32.
+
+    BIWI cross attention (the reference's dead enc_dec_mask BIWI arm,
+    faceformer.py:60-62): mesh frame t attends audio latents {2t, 2t+1}
+    with a TRUE 2-way softmax — mem_k/mem_v are the cross k/v projections
+    of the 50 fps latents, precomputed outside and lane-packed like cross.
+    """
+    if biwi:
+        (memk_ref, memv_ref, style_ref, pe_ref, hmask_ref, hmask_t_ref,
+         gproj_ref, slopes_ref,
+         wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+         wcq_ref, bcq_ref, wco_ref, bco_ref,
+         wf1_ref, bf1_ref, wf2_ref, bf2_ref, wfb_ref, bfb_ref,
+         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, ln3s_ref, ln3b_ref,
+         o_ref, k_scr, v_scr) = refs
+    else:
+        (cross_ref, style_ref, pe_ref, hmask_ref, hmask_t_ref,
+         gproj_ref, slopes_ref,
+         wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+         wf1_ref, bf1_ref, wf2_ref, bf2_ref, wfb_ref, bfb_ref,
+         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, ln3s_ref, ln3b_ref,
+         o_ref, k_scr, v_scr) = refs
     bd = b_block * D
     nh_tot = b_block * N_HEADS
     sm_scale = 1.0 / (HD**0.5)
@@ -169,7 +183,24 @@ def _decode_kernel(
 
             sa = mm(attn, wo_ref[:]) + bo_ref[:]
             h = ln(x + sa, ln1s_ref, ln1b_ref)
-            h = ln(h + cross_ref[0, pl.ds(t, 1), :].astype(jnp.float32), ln2s_ref, ln2b_ref)
+            if biwi:
+                # true 2-way cross softmax over latents {2t, 2t+1}: the
+                # same folded-q trick as self-attention, on a 2-row prefix
+                qc = mm(h, wcq_ref[:]) + bcq_ref[:]
+                qcm = hmask_ref[:] * jnp.transpose(qc * sm_scale)
+                k2 = memk_ref[0, pl.ds(2 * t, 2), :]  # (2, BD)
+                v2 = memv_ref[0, pl.ds(2 * t, 2), :]
+                s2 = mm(k2, qcm)  # (2, NH_TOT)
+                m2 = jnp.max(s2, axis=0, keepdims=True)
+                p2 = jnp.exp(s2 - m2)
+                z2 = jnp.sum(p2, axis=0, keepdims=True)
+                p2e = mm(p2, hmask_t_ref[:])  # (2, BD)
+                ca = jnp.sum(p2e * v2, axis=0, keepdims=True)
+                ca = ca * mm(1.0 / z2, hmask_t_ref[:])
+                ca = mm(ca, wco_ref[:]) + bco_ref[:]
+            else:
+                ca = cross_ref[0, pl.ds(t, 1), :].astype(jnp.float32)
+            h = ln(h + ca, ln2s_ref, ln2b_ref)
             ff = mm(jnp.maximum(mm(h, wf1_ref[:]) + bf1_ref[:], 0.0), wf2_ref[:]) + bf2_ref[:]
             h = ln(h + ff, ln3s_ref, ln3b_ref)
 
@@ -198,29 +229,35 @@ def _block_shape(b: int, b_block: int | None) -> tuple[int, int]:
     return b_block, b_block * D
 
 
-def vmem_bytes_needed(b: int, t: int, b_block: int | None = None) -> int:
+def vmem_bytes_needed(
+    b: int, t: int, b_block: int | None = None, *, biwi: bool = False
+) -> int:
     """Trace-time VMEM budget of the fused kernel for (batch, frames).
 
     Mirrors the allocation in faceformer_decode_loop: the T-height f32
-    buffers (cross + out + k/v scratch + per-step attention temporaries),
-    the blocked f32 weight set, and fixed headroom."""
+    buffers (cross + out + k/v scratch + per-step attention temporaries —
+    BIWI swaps the cross buffer for the two 2T-height mem_k/mem_v
+    projections), the blocked f32 weight set, and fixed headroom."""
     _, bd = _block_shape(b, b_block)
     t_pad = _round_up(t, 8)
-    return 6 * t_pad * bd * 4 + 16 * bd * bd * 4 + 8 * 1024 * 1024
+    t_units = 9 if biwi else 6
+    return t_units * t_pad * bd * 4 + 16 * bd * bd * 4 + 8 * 1024 * 1024
 
 
-def fits_vmem(b: int, t: int, b_block: int | None = None) -> bool:
+def fits_vmem(
+    b: int, t: int, b_block: int | None = None, *, biwi: bool = False
+) -> bool:
     """True iff the fused mega-kernel's buffers fit the VMEM window for a
     (batch, frames) decode. Callers (FaceFormer.__call__ auto-selection,
     serving) MUST fall back to the lax.scan path when this is False: the
     scan is correct at any T, just slower per step. Without this check a
     long clip (batch-8 past ~2.3 min, single-stream past ~9 min) dies in
     a Mosaic OOM instead of decoding."""
-    return vmem_bytes_needed(b, t, b_block) <= VMEM_LIMIT_BYTES
+    return vmem_bytes_needed(b, t, b_block, biwi=biwi) <= VMEM_LIMIT_BYTES
 
 
 def faceformer_decode_loop(
-    cross: jnp.ndarray,  # (B, T, D) precomputed cross-attention term
+    cross: jnp.ndarray | None,  # (B, T, D) precomputed cross term (vocaset)
     style: jnp.ndarray,  # (B, D)
     pe: jnp.ndarray,  # (period, D)
     weights: dict,  # q/k/v/o/f1/f2/fb kernels+biases, ln{1,2,3} scale/bias
@@ -230,12 +267,25 @@ def faceformer_decode_loop(
     fast_math: bool = True,
     b_block: int | None = None,
     chunk: int = CHUNK,
+    mem_k: jnp.ndarray | None = None,  # (B, H, 2T, hd) BIWI cross keys
+    mem_v: jnp.ndarray | None = None,  # (B, H, 2T, hd) BIWI cross values
 ) -> jnp.ndarray:
-    """Run the fused decode loop; returns hidden states (B, T, D)."""
-    b, t, d = cross.shape
-    assert d == D
+    """Run the fused decode loop; returns hidden states (B, T, D).
+
+    vocaset mode passes ``cross`` (the hoisted diagonal cross term); BIWI
+    mode passes ``mem_k``/``mem_v`` (cross k/v projections of the 50 fps
+    latents) plus ``cq``/``co`` entries in ``weights`` — each step runs a
+    true 2-way softmax over latents {2t, 2t+1} in-kernel."""
+    biwi = mem_k is not None
+    if biwi:
+        assert mem_v is not None and cross is None
+        b, _, s, hd = mem_k.shape
+        t = s // 2
+    else:
+        b, t, d = cross.shape
+        assert d == D
     b_block, bd = _block_shape(b, b_block)
-    need = vmem_bytes_needed(b, t, b_block)
+    need = vmem_bytes_needed(b, t, b_block, biwi=biwi)
     if need > VMEM_LIMIT_BYTES:
         raise ValueError(
             f"fused decode kernel needs ~{need / 2**20:.0f} MB of VMEM for "
@@ -248,10 +298,25 @@ def faceformer_decode_loop(
     t_pad = _round_up(t, 8)
     n_blocks = b_pad // b_block
 
-    # pack (B, T, D) -> (n_blocks, T_pad, B_BLOCK*D): items on the lane axis
-    cross_p = jnp.pad(cross.astype(jnp.float32), ((0, b_pad - b), (0, t_pad - t), (0, 0)))
-    cross_p = cross_p.reshape(n_blocks, b_block, t_pad, D).transpose(0, 2, 1, 3)
-    cross_p = cross_p.reshape(n_blocks, t_pad, bd)
+    def pack(x, rows):  # (B, rows, D) -> (n_blocks, rows_pad, BD)
+        rows_pad = _round_up(rows, 8)
+        x = jnp.pad(
+            x.astype(jnp.float32),
+            ((0, b_pad - b), (0, rows_pad - rows), (0, 0)),
+        )
+        x = x.reshape(n_blocks, b_block, rows_pad, D).transpose(0, 2, 1, 3)
+        return x.reshape(n_blocks, rows_pad, bd)
+
+    if biwi:
+        # (B, H, 2T, hd) -> (B, 2T, D) with the kernel's h*HD+i lane layout
+        def flat_heads(m):
+            return m.transpose(0, 2, 1, 3).reshape(b, s, D)
+
+        memk_p = pack(flat_heads(mem_k), s)
+        memv_p = pack(flat_heads(mem_v), s)
+        data_inputs = [memk_p, memv_p]
+    else:
+        data_inputs = [pack(cross, t)]
     style_p = jnp.pad(style.astype(jnp.float32), ((0, b_pad - b), (0, 0))).reshape(n_blocks, 1, bd)
 
     eye = jnp.eye(b_block, dtype=jnp.float32)
@@ -269,8 +334,12 @@ def faceformer_decode_loop(
     bqkv = jnp.concatenate(
         [tiled("q_bias"), tiled("k_bias"), tiled("v_bias")], axis=1
     )
-    weight_arrays = [wqkv, bqkv]
-    for name in ("o", "f1", "f2", "fb"):
+    weight_arrays = [wqkv, bqkv, blocked("o_kernel"), tiled("o_bias")]
+    if biwi:
+        for name in ("cq", "co"):
+            weight_arrays.append(blocked(f"{name}_kernel"))
+            weight_arrays.append(tiled(f"{name}_bias"))
+    for name in ("f1", "f2", "fb"):
         weight_arrays.append(blocked(f"{name}_kernel"))
         weight_arrays.append(tiled(f"{name}_bias"))
     for i in (1, 2, 3):
@@ -288,14 +357,20 @@ def faceformer_decode_loop(
     )
     kernel = functools.partial(
         _decode_kernel, n_steps=t, t_pad=t_pad, period=period,
-        b_block=b_block, chunk=chunk, precision=precision,
+        b_block=b_block, chunk=chunk, precision=precision, biwi=biwi,
     )
 
+    data_specs = [
+        pl.BlockSpec(
+            (1, x.shape[1], bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        for x in data_inputs
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, t_pad, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=data_specs
+        + [
             pl.BlockSpec((1, 1, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (5 + len(weight_arrays)),
@@ -311,15 +386,16 @@ def faceformer_decode_loop(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * t_pad * bd * 2 + t * (bd * bd * 10),
-            bytes_accessed=cross_p.size * 4 * 2,
+            bytes_accessed=sum(x.size for x in data_inputs) * 4 * 2,
             transcendentals=t * t_pad * b_block * N_HEADS,
         ),
         interpret=interpret,
     )(
-        cross_p, style_p, pe_packed, hmask, jnp.transpose(hmask),
+        *data_inputs, style_p, pe_packed, hmask, jnp.transpose(hmask),
         gproj, slopes, *weight_arrays,
     )
 
     # unpack (n_blocks, T_pad, BD) -> (B, T, D)
+    out_dtype = (mem_k if biwi else cross).dtype
     out = out.reshape(n_blocks, t_pad, b_block, D).transpose(0, 2, 1, 3)
-    return out.reshape(b_pad, t_pad, D)[:b, :t].astype(cross.dtype)
+    return out.reshape(b_pad, t_pad, D)[:b, :t].astype(out_dtype)

@@ -108,14 +108,20 @@ def sequence_parallel_encode(
     use_pallas: Optional[bool] = None,
     axis: str = DATA_AXIS,
     gather_output: bool = False,
+    dataset: str = "vocaset",
 ):
     """Full waveform -> hidden states with the transformer stack sharded
     on time. Drop-in for ``Wav2Vec2Encoder.apply`` at inference (same
-    variables, same output; ``tests/test_sequence_parallel.py``)."""
+    variables, same output; ``tests/test_sequence_parallel.py``).
+
+    ``dataset`` selects the pre-layers alignment branch (vocaset 60 fps
+    interp vs the BIWI even-trim, src/model/wav2vec.py:119-128) — both are
+    window-local and run before the time split, so the sharded stack is
+    identical either way."""
     encoder = Wav2Vec2Encoder(config, dtype=dtype)
     h, feat_lengths = encoder.apply(
         variables, input_values, output_len, lengths, output_lengths,
-        use_pallas=use_pallas, pre_layers_only=True,
+        dataset=dataset, use_pallas=use_pallas, pre_layers_only=True,
     )
     return sequence_parallel_layers(
         variables["params"], h, mesh,

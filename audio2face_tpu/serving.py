@@ -142,12 +142,6 @@ class FaceFormerPredictor:
                 "mesh= (data-parallel clip batches) and sp_mesh= "
                 "(time-sharded encoder) are mutually exclusive"
             )
-        if dataset == "biwi" and sp_mesh is not None:
-            raise NotImplementedError(
-                "sp_mesh= time-sharding assumes the vocaset 60 fps adapter; "
-                "the BIWI encoder keeps raw 50 fps latents — serve BIWI "
-                "checkpoints with mesh= (data parallel) or single-chip"
-            )
         self.sp_mesh = sp_mesh
         self.dataset = dataset
         # animation clock of the returned (T, V, 3) tracks (faceformer.py
@@ -267,11 +261,19 @@ class FaceFormerPredictor:
                         {"params": variables["params"]["audio_encoder"]},
                         normalize_waveform(audio, lengths),
                         self.sp_mesh,
-                        output_len=frame_count(audio.shape[1]),
+                        output_len=frame_count(audio.shape[1], self.fps),
                         lengths=lengths,
-                        output_lengths=frame_count(lengths),
+                        output_lengths=(
+                            # BIWI keeps raw 50 fps latents (trim branch) —
+                            # valid latent counts come from the conv stack,
+                            # computed inside the encoder; only vocaset's
+                            # interp needs explicit output frame counts
+                            None if self.dataset == "biwi"
+                            else frame_count(lengths, self.fps)
+                        ),
                         dtype=self.model.dtype,
                         gather_output=True,
+                        dataset=self.dataset,
                     )
                 hs, mask = self.model.apply(
                     variables, audio, one_hot, template * scale,

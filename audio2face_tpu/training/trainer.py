@@ -40,7 +40,11 @@ import optax
 from flax import struct
 
 from audio2face_tpu.config import ExpConfig
-from audio2face_tpu.losses import masked_faceformer_loss, mse_error
+from audio2face_tpu.losses import (
+    chunked_faceformer_head_loss,
+    masked_faceformer_loss,
+    mse_error,
+)
 from audio2face_tpu.parallel.mesh import (
     MODEL_AXIS,
     make_mesh,
@@ -324,6 +328,29 @@ class Audio2FaceExperiment:
 
             def grad_and_metrics(params, batch_stats, batch, rngs, fe_params):
                 def loss_fn(params):
+                    if self.is_faceformer and "audio_lengths" in batch:
+                        # padded whole-clip training: decode to hidden states
+                        # and run the vertex head INSIDE the chunked loss —
+                        # the (B, T, V, 3) prediction (578 MB at bs=16 x
+                        # 10 s) never materializes, its backward
+                        # rematerializes one frame-chunk at a time
+                        from audio2face_tpu.models.layers import dot_precision
+
+                        x, one_hot, verts_gt, template, lengths = self._unpack(batch)
+                        hs, fmask = self.model.apply(
+                            {"params": params}, x, one_hot, template,
+                            lengths=lengths, train=True, rngs=rngs,
+                            return_hidden=True,
+                        )
+                        loss, err = chunked_faceformer_head_loss(
+                            hs, params["vertice_map_r_kernel"],
+                            params["vertice_map_r_bias"], template,
+                            verts_gt.reshape(hs.shape[0], hs.shape[1], -1, 3),
+                            fmask,
+                            n_verts=self.config.vertex_count // 3,
+                            precision=dot_precision(getattr(self.model, "dtype", None)),
+                        )
+                        return loss["loss"], (loss, err, batch_stats)
                     pred, fmask, new_stats, verts = self._apply(
                         params, batch_stats, batch, train=True,
                         rngs=rngs, fe_params=fe_params,

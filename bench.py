@@ -305,7 +305,7 @@ def bench_faceformer_train(seconds: float = 10.0):
     }
 
 
-def bench_faceformer_train_batched(seconds: float = 10.0, batch: int = 4):
+def bench_faceformer_train_batched(seconds: float = 10.0, batch: int = 8):
     """Padded whole-clip B>1 FaceFormer training — the capability the
     reference's bs=1 cap (train.py:30-34) forecloses. Variable lengths
     exercise the masked loss + length-aware encoder."""
@@ -400,6 +400,95 @@ def bench_streaming(seconds: float = 30.0, chunk_s: float = 1.0):
     }
 
 
+def bench_streaming_fidelity(seconds: float = 12.0, chunk_s: float = 1.0):
+    """Streamed-vs-offline FIDELITY (not speed): LVE + MVE of the chunked
+    streaming decode against the same model's offline decode on
+    speech-like audio, swept over lookahead and left-context sizes.
+
+    The encoder is bidirectional, so bounded context is inherently
+    approximate; this sweep turns the approximation into a measured
+    latency-vs-fidelity curve (the lookahead IS the algorithmic latency).
+    value = MVE of the default serving config (2 s left, 0.5 s lookahead)
+    as a fraction of the offline animation's own mean displacement scale.
+    """
+    from audio2face_tpu.data.synthetic import (
+        generate_synthetic_face_obj,
+        synthesize_speech_like,
+    )
+    from audio2face_tpu.evaluation import (
+        infer_regions,
+        lip_vertex_error,
+        mean_vertex_error,
+    )
+    from audio2face_tpu.models.faceformer import FaceFormer
+    from audio2face_tpu.streaming import StreamingFaceFormerPredictor
+    from audio2face_tpu.utils.facemesh import FaceMesh
+    import tempfile
+
+    variables = _ff_variables()
+    audio = synthesize_speech_like(seconds, SR).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        mesh = FaceMesh.load(generate_synthetic_face_obj(os.path.join(d, "f.obj")))
+    template = np.asarray(mesh.verts, np.float32)
+    one_hot = np.eye(N_ONEHOT, dtype=np.float32)[0]
+    regions = infer_regions(template)
+
+    # offline reference at the same compute dtype as serving (bf16)
+    model = FaceFormer(n_verts=N_VERTS, n_onehot=N_ONEHOT, dtype=jnp.bfloat16)
+    offline = np.asarray(
+        jax.jit(model.apply)(
+            variables, jnp.asarray(audio[None]), jnp.asarray(one_hot[None]),
+            jnp.asarray(template[None] * 100.0),
+        )
+    )[0] / 100.0
+    scale = float(np.mean(np.linalg.norm(offline - template[None], axis=-1)))
+
+    def run(left_s, look_s):
+        stream = StreamingFaceFormerPredictor(
+            variables, n_verts=N_VERTS, chunk_seconds=chunk_s,
+            left_seconds=left_s, lookahead_seconds=look_s, dtype=jnp.bfloat16,
+        )
+        stream.start_stream(one_hot, template)
+        outs = []
+        feed = int(0.5 * SR)
+        for off in range(0, len(audio), feed):
+            got = stream.push(audio[off : off + feed])
+            if got.size:
+                outs.append(got)
+        tail = stream.flush()
+        if tail.size:
+            outs.append(tail)
+        out = np.concatenate(outs)[: len(offline)]
+        lve = float(lip_vertex_error(jnp.asarray(out), jnp.asarray(offline[: len(out)]), regions.lip))
+        mve = float(mean_vertex_error(jnp.asarray(out), jnp.asarray(offline[: len(out)])))
+        return {
+            "left_s": left_s, "lookahead_s": look_s,
+            "lve_mm2": round(lve * 1e6, 4),  # m^2 -> mm^2
+            "mve_mm": round(mve * 1e3, 4),  # m -> mm
+            "mve_over_signal": round(mve / max(scale, 1e-12), 4),
+        }
+
+    sweep = [
+        run(2.0, 0.25), run(2.0, 0.5), run(2.0, 1.0),
+        run(1.0, 0.5), run(4.0, 0.5),
+    ]
+    default = sweep[1]  # 2 s left, 0.5 s lookahead — the serving default
+    return {
+        "metric": "streaming fidelity vs offline decode (chunked, bf16)",
+        "value": default["mve_over_signal"],
+        "unit": "MVE / signal scale",
+        "vs_baseline": None,
+        "detail": {
+            "signal_scale_mm": round(scale * 1e3, 4),
+            "clip_seconds": seconds,
+            "chunk_seconds": chunk_s,
+            "sweep": sweep,
+            "note": "LVE/MVE against the same model's offline output; the "
+                    "reference cannot stream at all (whole-clip decode only)",
+        },
+    }
+
+
 def bench_multistream(n_streams: int = 8, chunk_s: float = 1.0):
     """N concurrent LIVE streams on one chip (round-3 capability): one
     batched (encoder, decoder) step advances every stream by one chunk.
@@ -481,6 +570,60 @@ def bench_multistream(n_streams: int = 8, chunk_s: float = 1.0):
         "value": round(ms, 1), "unit": "ms compute/chunk-round",
         "vs_baseline": None,
         "detail": detail,
+    }
+
+
+def bench_max_streams(chunk_s: float = 1.0, sizes=(64, 256, 512)):
+    """Live-serving capacity envelope: how many concurrent real-time streams
+    one chip sustains. Measures the multistream chunk-round at increasing
+    pool sizes until a round no longer fits inside the chunk
+    (realtime_margin < 1). value = the largest MEASURED stream count still
+    real-time; detail carries the sweep and a linear-model capacity
+    estimate (rounds are fixed-cost decode scan + per-stream encoder work,
+    so ms(n) is ~affine)."""
+    sweep = []
+    best = None
+    for n in sizes:
+        try:
+            r = bench_multistream(n, chunk_s)
+        except Exception as e:  # OOM / compile limits end the sweep
+            sweep.append({"streams": n, "error": repr(e)})
+            break
+        margin = r["detail"]["realtime_margin"]
+        point = {
+            "streams": n,
+            "ms_per_round": r["value"],
+            "realtime_margin": margin,
+            "pct_peak": r["detail"].get("pct_peak"),
+        }
+        sweep.append(point)
+        if margin >= 1.0:
+            best = point
+        else:
+            break
+    est = None
+    pts = [p for p in sweep if "ms_per_round" in p]
+    if len(pts) >= 2:
+        (n1, m1), (n2, m2) = (
+            (pts[-2]["streams"], pts[-2]["ms_per_round"]),
+            (pts[-1]["streams"], pts[-1]["ms_per_round"]),
+        )
+        if m2 > m1:
+            slope = (m2 - m1) / (n2 - n1)
+            est = int(n1 + (chunk_s * 1e3 - m1) / slope) if slope > 0 else None
+    return {
+        "metric": f"max concurrent real-time streams/chip, {chunk_s:.1f}s chunks",
+        "value": best["streams"] if best else 0,
+        "unit": "streams",
+        "vs_baseline": None,
+        "detail": {
+            "chunk_seconds": chunk_s,
+            "sweep": sweep,
+            "capacity_estimate_streams": est,
+            "note": "compute-only (the ~3.6 MB/stream/chunk vertex D2H is "
+                    "host-link-bound on a tunneled TPU); margin >= 1 means "
+                    "every stream keeps up with its own audio rate",
+        },
     }
 
 
@@ -668,8 +811,10 @@ def main():
         ("faceformer_train", bench_faceformer_train),
         ("faceformer_train_batched", bench_faceformer_train_batched),
         ("streaming", bench_streaming),
+        ("streaming_fidelity", bench_streaming_fidelity),
         ("multistream", bench_multistream),
         ("frame_stream", bench_frame_stream),
+        ("max_streams", bench_max_streams),
         ("render", bench_render),
     ]
     for name, fn in suite:

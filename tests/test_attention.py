@@ -235,3 +235,122 @@ def test_pallas_backward_kv_lengths():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=2e-3, atol=2e-4)
+
+
+def _hash_keep_mask(seed, b, h, t_q, t_k, rate):
+    """The kernels' dropout mask, recomputed outside Pallas: the keep bit is
+    a pure function of (seed, batch*head, row, col), so tests can build the
+    exact mask and pin the in-kernel dropout against a masked XLA oracle."""
+    from audio2face_tpu.ops.attention import _dropout_keep_tile
+
+    row = jnp.arange(t_q, dtype=jnp.int32)[:, None] * jnp.ones((1, t_k), jnp.int32)
+    col = jnp.arange(t_k, dtype=jnp.int32)[None, :] * jnp.ones((t_q, 1), jnp.int32)
+    masks = [
+        _dropout_keep_tile(jnp.int32(seed), jnp.int32(bh), row, col, rate)
+        for bh in range(b * h)
+    ]
+    return jnp.stack(masks).reshape(b, h, t_q, t_k)
+
+
+def _mha_with_explicit_keep(q, k, v, keep, *, causal=False, alibi_period=None,
+                            kv_lengths=None):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    s = s / math.sqrt(q.shape[-1])
+    t_q, t_k = q.shape[2], k.shape[2]
+    i = jnp.arange(t_q)[:, None]
+    j = jnp.arange(t_k)[None, :]
+    if alibi_period is not None:
+        slopes = jnp.asarray(alibi_slopes(q.shape[1]))
+        dist = jnp.floor_divide(i - j, alibi_period).astype(jnp.float32)
+        s = s - slopes[None, :, None, None] * dist[None, None]
+    mask = jnp.ones((t_q, t_k), bool)
+    if causal:
+        mask = mask & (j <= i)
+    mask = jnp.broadcast_to(mask[None, None], s.shape)
+    if kv_lengths is not None:
+        mask = mask & (j[None, None] < kv_lengths[:, None, None, None])
+    s = jnp.where(mask, s, -2.3819763e38)
+    p = jax.nn.softmax(s, axis=-1) * keep
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@pytest.mark.parametrize("causal,alibi_period", [(False, None), (True, 60)])
+def test_pallas_dropout_forward_matches_masked_oracle(causal, alibi_period):
+    """In-kernel attention dropout == the XLA oracle given the SAME keep
+    mask (recomputed from the deterministic coordinate hash)."""
+    from audio2face_tpu.ops.attention import flash_attention_pallas
+
+    rng = np.random.default_rng(11)
+    b, h, t, d = 2, 2, 80, 32
+    rate, seed = 0.1, 1234
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+
+    keep = _hash_keep_mask(seed, b, h, t, t, rate)
+    # sanity: the hash actually drops ~rate of positions and is not constant
+    frac = float((keep == 0).mean())
+    assert 0.05 < frac < 0.16, frac
+
+    want = _mha_with_explicit_keep(q, k, v, keep, causal=causal,
+                                   alibi_period=alibi_period)
+    got = flash_attention_pallas(
+        q, k, v, causal=causal, alibi_period=alibi_period,
+        block_q=32, block_k=32, interpret=True,
+        dropout_rate=rate, dropout_seed=jnp.asarray([seed], jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # rate=0 with a seed is exactly the no-dropout kernel
+    a = flash_attention_pallas(q, k, v, causal=causal, alibi_period=alibi_period,
+                               block_q=32, block_k=32, interpret=True)
+    bb = flash_attention_pallas(q, k, v, causal=causal, alibi_period=alibi_period,
+                                block_q=32, block_k=32, interpret=True,
+                                dropout_rate=0.0,
+                                dropout_seed=jnp.asarray([seed], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_pallas_dropout_backward_matches_masked_oracle():
+    """The backward kernels regenerate the forward's exact mask: dq/dk/dv
+    equal jax.grad of the explicitly-masked XLA oracle."""
+    from audio2face_tpu.ops.attention import (
+        flash_attention_bwd_pallas,
+        flash_attention_pallas,
+    )
+
+    rng = np.random.default_rng(12)
+    b, h, t, d = 2, 2, 64, 32
+    rate, seed = 0.1, 777
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    lengths = jnp.asarray([64, 40], jnp.int32)
+
+    keep = _hash_keep_mask(seed, b, h, t, t, rate)
+
+    def ref(q, k, v):
+        return _mha_with_explicit_keep(q, k, v, keep, causal=True,
+                                       kv_lengths=lengths)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    out, lse = flash_attention_pallas(
+        q, k, v, causal=True, kv_lengths=lengths,
+        block_q=32, block_k=32, interpret=True, return_lse=True,
+        dropout_rate=rate, dropout_seed=seed_arr,
+    )
+    dq, dk, dv = flash_attention_bwd_pallas(
+        q, k, v, out, lse, g, causal=True, kv_lengths=lengths,
+        block_q=32, block_k=32, interpret=True,
+        dropout_rate=rate, dropout_seed=seed_arr,
+    )
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=2e-3, atol=2e-4)

@@ -108,3 +108,58 @@ def test_dataset_key_rejects_frame_models():
     )
     with pytest.raises(ValueError, match="faceformer"):
         Audio2FaceExperiment(cfg, tensorboard=False)
+
+
+def test_real_layout_ingestion_hand_rolled(tmp_path):
+    """The loader consumes the DOCUMENTED on-disk schema, not whatever the
+    synthetic generator happens to write: a hand-built corpus directory
+    with a non-16 kHz wav (resample path) and a (T, V, 3)-shaped vertex
+    track (the alternate accepted shape) must load, split, and batch."""
+    import os
+    import pickle
+
+    import scipy.io.wavfile as wavfile
+
+    from audio2face_tpu.data.biwi import SR, BiwiDataModule
+    from audio2face_tpu.models.faceformer import frame_count
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "wav"))
+    os.makedirs(os.path.join(d, "vertices_npy"))
+    rng = np.random.default_rng(7)
+    templates = {}
+    v = 60
+    for subject, sent in [("F2", 1), ("F2", 37), ("M6", 5)]:
+        templates.setdefault(
+            subject, rng.normal(0, 0.05, (v, 3)).astype(np.float32)
+        )
+        # 22.05 kHz source audio: the loader must resample to 16 kHz
+        sr_in = 22050
+        n_in = int(0.6 * sr_in)
+        wav = (np.sin(np.arange(n_in) * 0.05) * 16000).astype(np.int16)
+        wavfile.write(os.path.join(d, "wav", f"{subject}_{sent:02d}.wav"), sr_in, wav)
+        n16 = int(round(n_in * SR / sr_in))
+        t_frames = n16 * BIWI_FPS // SR
+        # (T, V, 3) layout (vertices_npy also ships flattened (T, V*3))
+        track = rng.normal(0, 0.01, (t_frames, v, 3)).astype(np.float32)
+        np.save(os.path.join(d, "vertices_npy", f"{subject}_{sent:02d}.npy"), track)
+    with open(os.path.join(d, "templates.pkl"), "wb") as f:
+        pickle.dump(templates, f)
+
+    m = BiwiDataModule(d, batch_size=2, train_subjects=("F2", "M6"))
+    m.setup()
+    # sentence routing: 1, 5 -> train; 37 -> test
+    assert len(m.train_dataset) == 2
+    assert len(m.test_dataset) == 1
+    batches = list(m.train_batches(np.random.default_rng(0)))
+    assert batches, "train split produced no batches"
+    b = batches[0]
+    n_frames = b["verts"].shape[1]
+    assert b["verts"].shape[2:] == (v, 3)
+    # the 25 fps contract: frame budget == frame_count of the audio bucket
+    assert n_frames == frame_count(b["audio"].shape[1], BIWI_FPS)
+    for i in range(len(b["audio"])):
+        fl = int(b["frame_lengths"][i])
+        al = int(b["audio_lengths"][i])
+        assert fl <= n_frames and fl == frame_count(al, BIWI_FPS)
+        assert np.isfinite(b["verts"][i, :fl]).all()

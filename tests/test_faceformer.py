@@ -212,14 +212,39 @@ def test_faceformer_biwi_mode_parity():
     assert err < 1e-4, f"max vertex err {err}"
 
 
-def test_biwi_mode_refuses_fused_decode():
-    model = FaceFormer(n_verts=300, n_onehot=N_ONEHOT, dataset="biwi", decode_impl="fused")
+def test_biwi_fused_decode_matches_scan():
+    """BIWI fused mega-kernel (2-way cross softmax in-kernel) == the scan
+    path, end-to-end through the model (interpret-mode Pallas on CPU)."""
+    from unittest.mock import patch
+
+    from audio2face_tpu.ops import decode_kernel
+
     rng = np.random.default_rng(4)
-    audio = (rng.normal(size=(1, 4000)) * 0.1).astype(np.float32)
-    one_hot = np.eye(N_ONEHOT, dtype=np.float32)[:1]
-    template = np.zeros((1, 100, 3), np.float32)
-    with pytest.raises(ValueError, match="vocaset"):
-        model.init(
-            jax.random.PRNGKey(0), jnp.asarray(audio), jnp.asarray(one_hot),
-            jnp.asarray(template),
-        )
+    audio = jnp.asarray((rng.normal(size=(2, 8000)) * 0.1).astype(np.float32))
+    one_hot = jnp.asarray(np.eye(N_ONEHOT, dtype=np.float32)[[2, 9]])
+    template = jnp.asarray(rng.normal(size=(2, 100, 3)).astype(np.float32))
+
+    model_scan = FaceFormer(
+        n_verts=300, n_onehot=N_ONEHOT, dataset="biwi", period=25,
+        decode_impl="scan",
+    )
+    variables = jax.jit(model_scan.init)(jax.random.PRNGKey(0), audio, one_hot, template)
+    params = dict(variables["params"])
+    params["vertice_map_kernel"] = jnp.asarray(rng.normal(0, 0.05, (300, 64)).astype(np.float32))
+    params["vertice_map_r_kernel"] = jnp.asarray(rng.normal(0, 0.05, (64, 300)).astype(np.float32))
+    variables = {"params": params}
+    ref = model_scan.apply(variables, audio, one_hot, template)
+
+    orig = decode_kernel.faceformer_decode_loop
+
+    def interp_loop(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    model_fused = FaceFormer(
+        n_verts=300, n_onehot=N_ONEHOT, dataset="biwi", period=25,
+        decode_impl="fused",
+    )
+    with patch.object(decode_kernel, "faceformer_decode_loop", interp_loop):
+        out = model_fused.apply(variables, audio, one_hot, template)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

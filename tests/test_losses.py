@@ -74,3 +74,54 @@ def test_mse_error_matches_reference_formula():
         torch.mean((torch.as_tensor(pred).view(-1, 5023 * 3) - torch.as_tensor(gt).view(-1, 5023 * 3)) ** 2, dim=1)
     ).item()
     np.testing.assert_allclose(ours, t, rtol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("t", [50, 51])
+def test_chunked_head_loss_matches_unchunked(t):
+    """chunked_faceformer_head_loss == masked_faceformer_loss + mse_error on
+    the materialized prediction — values AND gradients (the chunked form is
+    how padded whole-clip training avoids materializing (B, T, V, 3))."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio2face_tpu.losses import (
+        chunked_faceformer_head_loss,
+        masked_faceformer_loss,
+        mse_error,
+    )
+
+    rng = np.random.default_rng(5)
+    b, d, v = 2, 64, 120  # t deliberately NOT a multiple of chunk; 51 hits
+    # the odd-trailing-frame path (rec/err only, never a velocity pair)
+    hs = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    kernel = jnp.asarray((rng.normal(size=(d, v * 3)) * 0.02).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(v * 3,)) * 0.02).astype(np.float32))
+    template = jnp.asarray(rng.normal(size=(b, v, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(b, t, v, 3)).astype(np.float32))
+    fmask = np.ones((b, t), np.float32)
+    fmask[1, 37:] = 0.0  # padded tail
+    fmask = jnp.asarray(fmask)
+
+    def unchunked(hs, kernel, bias):
+        pred = (jnp.matmul(hs.reshape(-1, d), kernel) + bias).reshape(b, t, -1)
+        pred = (pred.astype(jnp.float32) + template.reshape(b, 1, -1)).reshape(b, t, v, 3)
+        loss = masked_faceformer_loss(pred, gt, fmask)
+        return loss["loss"], (loss, mse_error(pred, gt, v, fmask))
+
+    def chunked(hs, kernel, bias):
+        loss, err = chunked_faceformer_head_loss(
+            hs, kernel, bias, template, gt, fmask, n_verts=v, chunk=16,
+        )
+        return loss["loss"], (loss, err)
+
+    (lu, (du, eu)), gu = jax.value_and_grad(unchunked, argnums=(0, 1, 2), has_aux=True)(hs, kernel, bias)
+    (lc, (dc, ec)), gc = jax.value_and_grad(chunked, argnums=(0, 1, 2), has_aux=True)(hs, kernel, bias)
+    np.testing.assert_allclose(float(lc), float(lu), rtol=1e-6)
+    np.testing.assert_allclose(float(ec), float(eu), rtol=1e-6)
+    for k in ("rec_loss", "vel_loss"):
+        np.testing.assert_allclose(float(dc[k]), float(du[k]), rtol=1e-6)
+    for a, bb in zip(gc, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-6)

@@ -474,8 +474,21 @@ def test_biwi_predictor_plumbing():
     )
     with pytest.raises(ValueError, match="dataset='vocaset'"):
         FaceFormerPredictor(n_verts=300, variables=voca.variables, dataset="biwi")
-    with pytest.raises(NotImplementedError, match="sp_mesh"):
-        FaceFormerPredictor(n_verts=300, dataset="biwi", sp_mesh=object())
+
+    # sequence-parallel serving of BIWI checkpoints: the pre-layers BIWI
+    # trim branch is window-local, so the time-sharded stack reproduces the
+    # single-device predictor (round 3 shipped this as NotImplementedError)
+    from audio2face_tpu.parallel.mesh import make_mesh
+
+    sp = FaceFormerPredictor(
+        n_verts=300, bf16=False, max_batch=2, bucket_seconds=0.5,
+        dataset="biwi", variables=biwi.variables,
+        sp_mesh=make_mesh((2, 1), devices=jax.devices()[:2]),
+    )
+    template = rng.normal(size=(100, 3)).astype(np.float32)
+    want = biwi([a], np.eye(12, dtype=np.float32)[[1]], template)
+    got = sp([a], np.eye(12, dtype=np.float32)[[1]], template)
+    np.testing.assert_allclose(got[0], want[0], atol=2e-5, rtol=1e-5)
 
     # the streaming paths assume the vocaset 60 fps adapter — they must
     # reject BIWI checkpoints instead of running the wrong alignment

@@ -90,12 +90,18 @@ def test_chunked_matches_offline_within_tolerance(setup):
     mid = slice(60, n_frames - 30)
     scale = np.abs(off_f[mid]).max()
     err = np.abs(off_s[mid] - off_f[mid]).max()
-    assert err < 0.25 * scale, (err, scale)
+    # measured on this fixture: err = 0.124 * scale (the truncated-context
+    # approximation at 1.6 s left / 0.4 s lookahead — the bidirectional
+    # encoder sees a different window, so this is inherent, not a bug; the
+    # bench's streaming-fidelity sweep tracks the same gap as LVE/MVE on
+    # the 5023-vert model). Bound set at 1.5x measured.
+    assert err < 0.18 * scale, (err, scale)
     # and the two signals are strongly correlated, not just small
+    # (measured corr = 0.9962 on this fixture)
     a = off_s[mid].ravel()
     b = off_f[mid].ravel()
     corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
-    assert corr > 0.95, corr
+    assert corr > 0.99, corr
 
 
 def test_streaming_latency_bound(setup):
