@@ -319,6 +319,173 @@ def render_frames_u8(
     return img, all_fit
 
 
+# D2H crop window for the pipelined tiled path: the FLAME-scale face
+# projects to a ~410x560 px window of the 800x800 frame at this camera, so
+# transferring a (CROP_H, CROP_W) slice + its per-frame offset moves 2.4x
+# fewer bytes than the full frame — the end-to-end render is D2H-bandwidth
+# bound on a tunneled/PCIe-attached chip. Exactness is guaranteed by
+# construction (the crop covers the projected-vertex bbox, and every drawn
+# fragment lies inside some triangle's vertex hull); frames whose geometry
+# exceeds the window report fit=False and fall back to full-frame transfer.
+CROP_H = 640  # rows (multiple of 8 for DMA-friendly slicing)
+CROP_W = 512  # cols (multiple of 128 lanes)
+
+# Frames per Pallas rasterize_keys call: the kernel scalar-prefetches the
+# whole (F, n_chunks, 4) chunk_bbox operand into SMEM (1 MB on v5e), which
+# caps F at ~25 frames for the FLAME-scale mesh (~41 kB/frame as laid out by
+# the compiler — measured: F=64 was rejected with "Allocation (size=2621440)
+# would exceed memory (size=1048576), space=smem"). Bigger host batches are
+# rasterized as a lax.map over RASTER_BATCH-frame sub-batches inside one jit,
+# so the D2H transfer batch (TRANSFER_BATCH) can grow independently.
+RASTER_BATCH = 16
+
+
+def _rasterize_batched(coefs, bbox, *, height, width, interpret):
+    """rasterize_keys over F frames, sub-batched to fit the SMEM prefetch.
+
+    coefs (F, T, 16) f32, bbox (F, n_chunks, 4) i32 -> (F, H, W) u32 keys.
+    """
+    from audio2face_tpu.ops.rasterizer import rasterize_keys
+
+    f = coefs.shape[0]
+    if f <= RASTER_BATCH or f % RASTER_BATCH != 0:
+        return rasterize_keys(
+            coefs, bbox, height=height, width=width, interpret=interpret
+        )
+    n = f // RASTER_BATCH
+    keys = jax.lax.map(
+        lambda cb: rasterize_keys(
+            cb[0], cb[1], height=height, width=width, interpret=interpret
+        ),
+        (
+            coefs.reshape(n, RASTER_BATCH, *coefs.shape[1:]),
+            bbox.reshape(n, RASTER_BATCH, *bbox.shape[1:]),
+        ),
+    )
+    return keys.reshape(f, *keys.shape[2:])
+
+
+def _crop_window(u, v, visible, *, height, width, crop_h, crop_w):
+    """Per-frame crop offset + fit flag from projected vertices.
+
+    Returns ((2,) int32 [y_off, x_off], () bool fit). The crop
+    [y_off:y_off+crop_h, x_off:x_off+crop_w] covers every drawn pixel when
+    fit is True: drawn fragments lie inside a triangle whose three vertices
+    are all visible and finite (plane_coefficients culls the rest), so the
+    bbox of visible finite vertices, clipped to the screen, bounds them.
+    An all-culled frame (NaN verts, everything behind the camera) renders
+    as pure background — any window is correct, so fit stays True."""
+    valid = visible & jnp.isfinite(u) & jnp.isfinite(v)
+    big = jnp.float32(4 * max(height, width))
+    u_lo = jnp.clip(jnp.floor(jnp.where(valid, u, big).min()), 0, width)
+    u_hi = jnp.clip(jnp.ceil(jnp.where(valid, u, -big).max()) + 1, 0, width)
+    v_lo = jnp.clip(jnp.floor(jnp.where(valid, v, big).min()), 0, height)
+    v_hi = jnp.clip(jnp.ceil(jnp.where(valid, v, -big).max()) + 1, 0, height)
+    any_valid = valid.any()
+    fit = (~any_valid) | ((u_hi - u_lo <= crop_w) & (v_hi - v_lo <= crop_h))
+    y_off = jnp.where(any_valid, jnp.minimum(v_lo, height - crop_h), 0.0)
+    x_off = jnp.where(any_valid, jnp.minimum(u_lo, width - crop_w), 0.0)
+    return jnp.stack([y_off, x_off]).astype(jnp.int32), fit
+
+
+@partial(jax.jit, static_argnames=("height", "width", "crop_h", "crop_w", "interpret"))
+def render_frames_tiled_cropped(
+    verts: jnp.ndarray,  # (F, V, 3) float32
+    faces: jnp.ndarray,  # (T, 3) int32, T a multiple of rasterizer.TRI_CHUNK
+    face_valid: jnp.ndarray,  # (T,) bool
+    lights: jnp.ndarray,  # (5, 3)
+    *,
+    height: int = FRUSTUM["height"],
+    width: int = FRUSTUM["width"],
+    crop_h: int = CROP_H,
+    crop_w: int = CROP_W,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tile-rasterize a batch and return only the face's crop window.
+
+    Returns ((F, crop_h, crop_w) uint8 crops, (F, 2) int32 [y, x] offsets,
+    (F,) bool fit). Rasterization is identical to render_frames_tiled (the
+    full framebuffer is computed on device); only the D2H payload shrinks.
+    When fit[i] is False the crop may miss drawn pixels — the caller must
+    re-render that frame full-frame. Pixels outside the crop are background
+    whenever fit is True."""
+    assert crop_h <= height and crop_w <= width, (crop_h, crop_w)
+    from audio2face_tpu.ops.rasterizer import plane_coefficients
+
+    def prep(vf):
+        u, v, z, shade, vis = project_and_shade(vf, faces, lights)
+        coefs, bbox = plane_coefficients(
+            u, v, z, shade, vis, faces, face_valid, height=height, width=width
+        )
+        off, fit = _crop_window(
+            u, v, vis, height=height, width=width, crop_h=crop_h, crop_w=crop_w
+        )
+        return coefs, bbox, off, fit
+
+    coefs, bbox, offs, fit = jax.vmap(prep)(verts.astype(jnp.float32))
+    keys = _rasterize_batched(
+        coefs, bbox, height=height, width=width, interpret=interpret
+    )
+    img = jnp.where(keys == 0, BG_COLOR, keys & 0xFF).astype(jnp.uint8)
+    crops = jax.vmap(
+        lambda im, o: jax.lax.dynamic_slice(im, (o[0], o[1]), (crop_h, crop_w))
+    )(img, offs)
+    return crops, offs, fit
+
+
+@partial(jax.jit, static_argnames=("height", "width", "crop_h", "crop_w", "interpret"))
+def render_frames_tiled_packed(
+    verts: jnp.ndarray,  # (F, V, 3) float32
+    faces: jnp.ndarray,
+    face_valid: jnp.ndarray,
+    lights: jnp.ndarray,
+    *,
+    height: int = FRUSTUM["height"],
+    width: int = FRUSTUM["width"],
+    crop_h: int = CROP_H,
+    crop_w: int = CROP_W,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Cropped render with offsets+fit packed into one uint8 buffer.
+
+    Returns (F, crop_h + 1, crop_w) uint8: rows [0, crop_h) are the crop,
+    row crop_h carries per-frame metadata bytes
+    [y_off >> 8, y_off & 255, x_off >> 8, x_off & 255, fit]. One device
+    array per batch means ONE D2H transfer per drain — the tunnel/PCIe
+    link charges a fixed ~0.1-0.2 s per transfer regardless of size, so
+    splitting crops/offsets/fit into three fetches triples the cost that
+    dominates end-to-end render fps. Unpack with unpack_rendered."""
+    crops, offs, fit = render_frames_tiled_cropped(
+        verts, faces, face_valid, lights,
+        height=height, width=width, crop_h=crop_h, crop_w=crop_w,
+        interpret=interpret,
+    )
+    meta = jnp.zeros((verts.shape[0], crop_w), jnp.uint8)
+    cols = jnp.stack(
+        [
+            (offs[:, 0] >> 8).astype(jnp.uint8),
+            (offs[:, 0] & 0xFF).astype(jnp.uint8),
+            (offs[:, 1] >> 8).astype(jnp.uint8),
+            (offs[:, 1] & 0xFF).astype(jnp.uint8),
+            fit.astype(jnp.uint8),
+        ],
+        axis=1,
+    )
+    meta = jax.lax.dynamic_update_slice(meta, cols, (0, 0))
+    return jnp.concatenate([crops, meta[:, None, :]], axis=1)
+
+
+def unpack_rendered(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side inverse of render_frames_tiled_packed's metadata row.
+
+    Returns ((F, crop_h, crop_w) crops, (F, 2) int32 offsets, (F,) bool fit).
+    """
+    crops = buf[:, :-1, :]
+    m = buf[:, -1, :5].astype(np.int32)
+    offs = np.stack([(m[:, 0] << 8) | m[:, 1], (m[:, 2] << 8) | m[:, 3]], axis=1)
+    return crops, offs, m[:, 4].astype(bool)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "interpret"))
 def render_frames_tiled(
     verts: jnp.ndarray,  # (F, V, 3) float32
@@ -338,7 +505,7 @@ def render_frames_tiled(
     degenerate geometry is culled per-triangle, so a NaN frame renders as
     background, matching the scatter and banded paths.
     """
-    from audio2face_tpu.ops.rasterizer import plane_coefficients, rasterize_keys
+    from audio2face_tpu.ops.rasterizer import plane_coefficients
 
     def prep(vf):
         u, v, z, shade, vis = project_and_shade(vf, faces, lights)
@@ -347,7 +514,7 @@ def render_frames_tiled(
         )
 
     coefs, bbox = jax.vmap(prep)(verts.astype(jnp.float32))
-    keys = rasterize_keys(
+    keys = _rasterize_batched(
         coefs, bbox, height=height, width=width, interpret=interpret
     )
     return jnp.where(keys == 0, BG_COLOR, keys & 0xFF).astype(jnp.uint8)
@@ -503,6 +670,10 @@ class Renderer:
     # device batches kept in flight before draining one (overlaps the D2H
     # image transfer + host unpack of batch i with the compute of i+1..i+D)
     PIPELINE_DEPTH = 3
+    # frames per pipelined device batch / D2H transfer: the link charges a
+    # fixed per-transfer cost, so bigger batches amortize it (64 crops
+    # ~21 MB ≈ 0.5 s vs 4 transfers ≈ 1.1 s at measured link parameters)
+    TRANSFER_BATCH = 64
 
     def render(self, target_verts: np.ndarray) -> list[np.ndarray]:
         n_frames = target_verts.shape[0]
@@ -553,33 +724,60 @@ class Renderer:
         """Tiled path with transfer/compute overlap: keep PIPELINE_DEPTH
         device batches in flight, drain the oldest while newer ones compute
         (JAX dispatch is async; the D2H DMA of a finished batch overlaps
-        the kernel of the next)."""
+        the kernel of the next). Each batch transfers only the face's
+        (CROP_H, CROP_W) window + per-frame offsets — ~2.4x fewer D2H bytes
+        than full frames, which is what bounds end-to-end fps on a
+        tunneled/PCIe-attached chip. Frames whose geometry exceeds the crop
+        window (fit=False) re-render full-frame, exactly."""
+        height, width = FRUSTUM["height"], FRUSTUM["width"]
         n_frames = len(target_verts)
-        pending: list[tuple[jnp.ndarray, int]] = []
+        tb = self.TRANSFER_BATCH
+        pending: list[tuple] = []
         images: list[np.ndarray] = []
 
         def drain():
-            imgs, n = pending.pop(0)
-            gray = np.asarray(imgs)[:n]
-            images.extend(np.repeat(g[..., None], 3, axis=2) for g in gray)
-
-        for lo in range(0, n_frames, FRAME_BATCH):
-            chunk = target_verts[lo : lo + FRAME_BATCH]
-            n = len(chunk)
-            if n < FRAME_BATCH:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], FRAME_BATCH - n, axis=0)]
+            buf, n, chunk = pending.pop(0)
+            crops, offs, fit = unpack_rendered(np.asarray(buf))  # ONE D2H
+            if fit[:n].all():
+                images.extend(
+                    paste_crop(crops[i], offs[i], height, width)
+                    for i in range(n)
                 )
-            imgs = render_frames_tiled(
+            else:  # oversized geometry: full-frame transfer for this batch
+                gray = np.asarray(
+                    render_frames_tiled(
+                        jnp.asarray(chunk), self._faces_padded,
+                        self._face_valid, self.lights,
+                    )
+                )[:n]
+                images.extend(np.repeat(g[..., None], 3, axis=2) for g in gray)
+
+        for lo in range(0, n_frames, tb):
+            chunk = target_verts[lo : lo + tb]
+            n = len(chunk)
+            if n < tb:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], tb - n, axis=0)]
+                )
+            buf = render_frames_tiled_packed(
                 jnp.asarray(chunk), self._faces_padded, self._face_valid,
                 self.lights,
             )
-            pending.append((imgs, n))
+            pending.append((buf, n, chunk))
             if len(pending) > self.PIPELINE_DEPTH:
                 drain()
         while pending:
             drain()
         return images
+
+
+def paste_crop(crop: np.ndarray, off: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Reassemble a full (height, width, 3) uint8 frame from a
+    render_frames_tiled_cropped window: background outside the crop."""
+    canvas = np.full((height, width), BG_COLOR, np.uint8)
+    y, x = int(off[0]), int(off[1])
+    canvas[y : y + crop.shape[0], x : x + crop.shape[1]] = crop
+    return np.repeat(canvas[..., None], 3, axis=2)
 
 
 def shade_to_image(shade: np.ndarray) -> np.ndarray:

@@ -752,6 +752,10 @@ def bench_render(n_frames: int = 64):
         wall = timed(lambda: step(vd)[0], n=10)
     fps = FRAME_BATCH / wall
 
+    # warm the e2e path's program set (pipelined TRANSFER_BATCH shape) so
+    # the metric reports steady-state throughput, not one-time compiles —
+    # consistent with every other suite entry's timing convention
+    renderer.render(verts[:1])
     tic = time.perf_counter()
     images = renderer.render(verts)
     e2e_wall = time.perf_counter() - tic
@@ -773,6 +777,23 @@ def bench_render(n_frames: int = 64):
     }
 
 
+def _suite():
+    return [
+        ("audio2mesh", bench_audio2mesh),
+        ("voca", bench_voca),
+        ("faceformer_10s_bs1", lambda: bench_faceformer_streaming(10.0, 1)),
+        ("train_step", bench_train_step),
+        ("faceformer_train", bench_faceformer_train),
+        ("faceformer_train_batched", bench_faceformer_train_batched),
+        ("streaming", bench_streaming),
+        ("streaming_fidelity", bench_streaming_fidelity),
+        ("multistream", bench_multistream),
+        ("frame_stream", bench_frame_stream),
+        ("max_streams", bench_max_streams),
+        ("render", bench_render),
+    ]
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -786,8 +807,17 @@ def main():
     parser.add_argument("--seconds", type=float, default=60.0)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--f32", action="store_true")
+    parser.add_argument(
+        "--only", type=str, default=None, metavar="NAME",
+        help="run a single suite entry by name and exit (skips the flagship)",
+    )
     args = parser.parse_args()
     import sys
+
+    if args.only:
+        table = dict(_suite())
+        print(json.dumps(table[args.only]()), flush=True)
+        return
 
     # flagship FIRST — the driver parses stdout line 1 — flushed before the
     # suite runs so a suite failure can never lose the headline number
@@ -803,21 +833,7 @@ def main():
     if args.flagship_only:
         return
 
-    suite = [
-        ("audio2mesh", bench_audio2mesh),
-        ("voca", bench_voca),
-        ("faceformer_10s_bs1", lambda: bench_faceformer_streaming(10.0, 1)),
-        ("train_step", bench_train_step),
-        ("faceformer_train", bench_faceformer_train),
-        ("faceformer_train_batched", bench_faceformer_train_batched),
-        ("streaming", bench_streaming),
-        ("streaming_fidelity", bench_streaming_fidelity),
-        ("multistream", bench_multistream),
-        ("frame_stream", bench_frame_stream),
-        ("max_streams", bench_max_streams),
-        ("render", bench_render),
-    ]
-    for name, fn in suite:
+    for name, fn in _suite():
         tic = time.perf_counter()
         try:
             r = fn()

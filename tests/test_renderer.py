@@ -210,6 +210,110 @@ def test_tiled_rasterizer_nan_and_degenerate():
     np.testing.assert_array_equal(imgs[0], solo[0])
 
 
+def test_tiled_cropped_matches_full():
+    """The cropped-transfer tiled path must reconstruct the exact full-frame
+    image (the crop covers the projected-vertex bbox; everything outside is
+    background), report fit=True for FLAME-scale geometry, and fall to
+    fit=False when the window is deliberately too small."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+    from audio2face_tpu.utils.renderer import (
+        paste_crop,
+        render_frames_tiled,
+        render_frames_tiled_cropped,
+        render_frames_tiled_packed,
+        unpack_rendered,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        mesh = FaceMesh.load(generate_synthetic_face_obj(d + "/face.obj"))
+    r = Renderer(mesh)
+    verts = np.asarray(mesh.verts, np.float32)
+    batch = jnp.asarray(np.stack([verts, np.full_like(verts, np.nan)]))
+
+    full = np.asarray(
+        render_frames_tiled(
+            batch, r._faces_padded, r._face_valid, r.lights, interpret=True
+        )
+    )
+    crops, offs, fit = render_frames_tiled_cropped(
+        batch, r._faces_padded, r._face_valid, r.lights, interpret=True
+    )
+    crops, offs, fit = np.asarray(crops), np.asarray(offs), np.asarray(fit)
+    assert fit.tolist() == [True, True]  # NaN frame: all culled -> any window
+    for i in range(2):
+        rebuilt = paste_crop(crops[i], offs[i], 800, 800)
+        np.testing.assert_array_equal(rebuilt[:, :, 0], full[i])
+    assert (crops[1] == 255).all()  # NaN frame is pure background
+    # the face must actually live inside the crop (not clipped away)
+    assert (crops[0] != 255).mean() > 0.10
+
+    # a window smaller than the face reports fit=False
+    _, _, small_fit = render_frames_tiled_cropped(
+        batch[:1], r._faces_padded, r._face_valid, r.lights,
+        crop_h=64, crop_w=128, interpret=True,
+    )
+    assert not bool(np.asarray(small_fit)[0])
+
+    # the single-buffer packed form (one D2H per batch) round-trips exactly
+    buf = np.asarray(
+        render_frames_tiled_packed(
+            batch, r._faces_padded, r._face_valid, r.lights, interpret=True
+        )
+    )
+    p_crops, p_offs, p_fit = unpack_rendered(buf)
+    np.testing.assert_array_equal(p_crops, crops)
+    np.testing.assert_array_equal(p_offs, offs)
+    np.testing.assert_array_equal(p_fit, fit)
+
+
+def test_rasterize_batched_submatches_direct(monkeypatch):
+    """Batches larger than RASTER_BATCH must rasterize via the lax.map
+    sub-batch path (the Pallas kernel's SMEM bbox prefetch caps F) and
+    produce bit-identical frames to the direct call."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+    from audio2face_tpu.utils import renderer as R
+
+    with tempfile.TemporaryDirectory() as d:
+        mesh = FaceMesh.load(generate_synthetic_face_obj(d + "/face.obj"))
+    r = Renderer(mesh)
+    verts = np.asarray(mesh.verts, np.float32)
+    batch = jnp.asarray(np.stack([verts, verts * 1.01]))
+
+    direct = np.asarray(
+        R.render_frames_tiled(
+            batch, r._faces_padded, r._face_valid, r.lights, interpret=True
+        )
+    )
+    monkeypatch.setattr(R, "RASTER_BATCH", 1)  # force the lax.map path
+    R.render_frames_tiled.clear_cache()
+    R.render_frames_tiled_cropped.clear_cache()
+    try:
+        mapped = np.asarray(
+            R.render_frames_tiled(
+                batch, r._faces_padded, r._face_valid, r.lights, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(mapped, direct)
+        crops, offs, fit = R.render_frames_tiled_cropped(
+            batch, r._faces_padded, r._face_valid, r.lights, interpret=True
+        )
+        assert np.asarray(fit).all()
+        for i in range(2):
+            rebuilt = R.paste_crop(np.asarray(crops)[i], np.asarray(offs)[i], 800, 800)
+            np.testing.assert_array_equal(rebuilt[:, :, 0], direct[i])
+    finally:
+        R.render_frames_tiled.clear_cache()
+        R.render_frames_tiled_cropped.clear_cache()
+
+
 def test_images_to_video_and_audio(tmp_path):
     img = np.full((64, 64, 3), 255, np.uint8)
     path = images_to_video([img, img, img], str(tmp_path), fps=30)
