@@ -776,6 +776,13 @@ def flash_attention_bwd_pallas(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # same headroom formula as the forward: the backward holds f32
+            # score + dp + ds tiles of (block_q, block_k), and the
+            # auto-sized blocks can reach 1024x1024 (~12 MB scoped) —
+            # past the default Mosaic limit
+            vmem_limit_bytes=min(
+                max(64 * 1024 * 1024, 12 * block_q * block_k), 110 * 1024 * 1024
+            ),
         ),
         interpret=interpret,
     )(kvlen_bh, slopes_bh, seed, qf, kf, vf, dof, lse_f, delta)
@@ -800,6 +807,9 @@ def flash_attention_bwd_pallas(
         out_shape=jax.ShapeDtypeStruct((b * h, t_q_pad, d_pad), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=min(
+                max(64 * 1024 * 1024, 12 * block_q * block_k), 110 * 1024 * 1024
+            ),
         ),
         interpret=interpret,
     )(kvlen_bh, slopes_bh, seed, qf, kf, vf, dof, lse_f, delta)

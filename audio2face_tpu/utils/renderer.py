@@ -348,11 +348,27 @@ def _rasterize_batched(coefs, bbox, *, height, width, interpret):
     from audio2face_tpu.ops.rasterizer import rasterize_keys
 
     f = coefs.shape[0]
-    if f <= RASTER_BATCH or f % RASTER_BATCH != 0:
+    if f <= RASTER_BATCH:
         return rasterize_keys(
             coefs, bbox, height=height, width=width, interpret=interpret
         )
-    n = f // RASTER_BATCH
+    # pad to the next RASTER_BATCH multiple: a direct call above
+    # RASTER_BATCH frames exceeds the kernel's SMEM scalar-prefetch cap on
+    # device, so non-multiple batches (e.g. F=40 through the public
+    # render_frames_tiled) must sub-batch too. Padded frames carry
+    # all-empty chunk bboxes (xmin > xmax — the pre-pass's empty-chunk
+    # convention) so the kernel culls every chunk; they render as pure
+    # background and are sliced off below.
+    pad = -f % RASTER_BATCH
+    if pad:
+        coefs = jnp.concatenate(
+            [coefs, jnp.zeros((pad, *coefs.shape[1:]), coefs.dtype)]
+        )
+        empty = jnp.broadcast_to(
+            jnp.asarray([1, 0, 1, 0], bbox.dtype), (pad, *bbox.shape[1:])
+        )
+        bbox = jnp.concatenate([bbox, empty])
+    n = (f + pad) // RASTER_BATCH
     keys = jax.lax.map(
         lambda cb: rasterize_keys(
             cb[0], cb[1], height=height, width=width, interpret=interpret
@@ -362,7 +378,7 @@ def _rasterize_batched(coefs, bbox, *, height, width, interpret):
             bbox.reshape(n, RASTER_BATCH, *bbox.shape[1:]),
         ),
     )
-    return keys.reshape(f, *keys.shape[2:])
+    return keys.reshape(n * RASTER_BATCH, *keys.shape[2:])[:f]
 
 
 def _crop_window(u, v, visible, *, height, width, crop_h, crop_w):
@@ -410,6 +426,11 @@ def render_frames_tiled_cropped(
     re-render that frame full-frame. Pixels outside the crop are background
     whenever fit is True."""
     assert crop_h <= height and crop_w <= width, (crop_h, crop_w)
+    # the packed layout stores 5 metadata bytes in row crop_h and 16-bit
+    # offsets; offsets are bounded by the screen size, so pin both here
+    # where every cropped/packed render passes through
+    assert crop_w >= 5, f"crop_w={crop_w}: packed metadata needs 5 bytes"
+    assert height < 2**16 and width < 2**16, (height, width)
     from audio2face_tpu.ops.rasterizer import plane_coefficients
 
     def prep(vf):
@@ -738,19 +759,41 @@ class Renderer:
         def drain():
             buf, n, chunk = pending.pop(0)
             crops, offs, fit = unpack_rendered(np.asarray(buf))  # ONE D2H
-            if fit[:n].all():
+            fit = fit[:n]
+            if fit.all():
                 images.extend(
                     paste_crop(crops[i], offs[i], height, width)
                     for i in range(n)
                 )
-            else:  # oversized geometry: full-frame transfer for this batch
+                return
+            # oversized geometry: full-frame re-render of ONLY the unfit
+            # frames, padded to a fixed RASTER_BATCH shape — a whole-batch
+            # re-render would stall the pipeline with a ~41 MB full-frame
+            # transfer and a first-time F=TRANSFER_BATCH compile mid-render
+            # (the warmup only compiles the packed path)
+            bad = np.flatnonzero(~fit)
+            full: dict[int, np.ndarray] = {}
+            for g0 in range(0, len(bad), RASTER_BATCH):
+                idx = bad[g0 : g0 + RASTER_BATCH]
+                sub = chunk[idx]
+                if len(idx) < RASTER_BATCH:
+                    sub = np.concatenate(
+                        [sub, np.repeat(sub[-1:], RASTER_BATCH - len(idx), axis=0)]
+                    )
                 gray = np.asarray(
                     render_frames_tiled(
-                        jnp.asarray(chunk), self._faces_padded,
+                        jnp.asarray(sub), self._faces_padded,
                         self._face_valid, self.lights,
                     )
-                )[:n]
-                images.extend(np.repeat(g[..., None], 3, axis=2) for g in gray)
+                )[: len(idx)]
+                for j, i in enumerate(idx):
+                    full[int(i)] = gray[j]
+            images.extend(
+                paste_crop(crops[i], offs[i], height, width)
+                if fit[i]
+                else np.repeat(full[i][..., None], 3, axis=2)
+                for i in range(n)
+            )
 
         for lo in range(0, n_frames, tb):
             chunk = target_verts[lo : lo + tb]

@@ -314,6 +314,44 @@ def test_rasterize_batched_submatches_direct(monkeypatch):
         R.render_frames_tiled_cropped.clear_cache()
 
 
+def test_rasterize_batched_non_multiple_pads(monkeypatch):
+    """F > RASTER_BATCH with F % RASTER_BATCH != 0 (e.g. a 3-frame batch at
+    RASTER_BATCH=2) must pad into the sub-batch path, not fall through to a
+    direct call — on device the direct kernel exceeds its SMEM bbox
+    prefetch above RASTER_BATCH frames. Padded frames must not leak into
+    the output."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from audio2face_tpu.data.synthetic import generate_synthetic_face_obj
+    from audio2face_tpu.utils import renderer as R
+
+    with tempfile.TemporaryDirectory() as d:
+        mesh = FaceMesh.load(generate_synthetic_face_obj(d + "/face.obj"))
+    r = Renderer(mesh)
+    verts = np.asarray(mesh.verts, np.float32)
+    batch = jnp.asarray(np.stack([verts, verts * 1.01, verts * 0.99]))
+
+    direct = np.asarray(
+        R.render_frames_tiled(
+            batch, r._faces_padded, r._face_valid, r.lights, interpret=True
+        )
+    )
+    monkeypatch.setattr(R, "RASTER_BATCH", 2)  # 3 % 2 != 0 -> padded path
+    R.render_frames_tiled.clear_cache()
+    try:
+        padded = np.asarray(
+            R.render_frames_tiled(
+                batch, r._faces_padded, r._face_valid, r.lights, interpret=True
+            )
+        )
+        assert padded.shape == direct.shape
+        np.testing.assert_array_equal(padded, direct)
+    finally:
+        R.render_frames_tiled.clear_cache()
+
+
 def test_images_to_video_and_audio(tmp_path):
     img = np.full((64, 64, 3), 255, np.uint8)
     path = images_to_video([img, img, img], str(tmp_path), fps=30)
