@@ -385,7 +385,8 @@ def bench_faceformer_train_batched(seconds: float = 10.0, batch: int | None = No
     from audio2face_tpu.parallel.mesh import shard_batch
 
     if batch is None:
-        batch = int(os.environ.get("A2F_FF_TRAIN_BS", "16"))
+        batch = int(os.environ.get("A2F_FF_TRAIN_BS", "0")) or \
+            int(_costs().get("ff_train_bs", 16))
     n_samples = int(seconds * SR)
     n_frames = n_samples * FPS // SR
     cfg = ExpConfig(
@@ -919,13 +920,37 @@ def bench_render(n_frames: int = 64):
 FLAGSHIP_NAME = "flagship"
 
 # (name, fn, est_warm_s, tier). est_warm_s is the measured wall of a
-# warm-cache subprocess run on the dev chip (see DESIGN.md §"Bench
-# budget"); the scheduler scales estimates by the observed actual/est
-# ratio so a loaded compile server degrades to skips, not overruns.
-# tier 0 entries carry the round's headline capabilities and run first
-# (cheapest first within a tier); tier 1 entries fill remaining budget.
+# warm-cache subprocess run on the dev chip; the scheduler scales
+# estimates by the observed actual/est ratio so a loaded compile server
+# degrades to skips, not overruns. tier 0 entries carry the round's
+# headline capabilities and run first (cheapest first within a tier);
+# tier 1 entries fill remaining budget.
+#
+# Measured costs live in bench_costs.json, NOT here: the Pallas kernel
+# payload inside every compiled program embeds the full source-location
+# stack (jax's cache-key canonicalization strips module-level debug info
+# but not the tpu_custom_call backend_config), so ANY edit to this file
+# shifts line numbers and orphans every cached bench program — a full
+# re-warm costs hours through the remote-compile tunnel. Tunables that
+# must survive measurement updates therefore live outside the file.
+_COSTS = None
+
+
+def _costs() -> dict:
+    global _COSTS
+    if _COSTS is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_costs.json")
+        try:
+            with open(path) as f:
+                _COSTS = json.load(f)
+        except Exception:
+            _COSTS = {}
+    return _COSTS
+
+
 def _suite():
-    return [
+    defaults = [
         ("train_step", bench_train_step, 45.0, 0),
         ("streaming", bench_streaming, 50.0, 0),
         ("render", bench_render, 70.0, 0),
@@ -941,6 +966,8 @@ def _suite():
         # entry); run with --only faceformer_train
         ("faceformer_train", bench_faceformer_train, 90.0, 2),
     ]
+    est = _costs().get("est_s", {})
+    return [(n, f, float(est.get(n, e)), t) for n, f, e, t in defaults]
 
 
 def _print_line(obj):
@@ -1048,7 +1075,8 @@ def main():
 
     # ── flagship FIRST (subprocess: a hung remote compile must not eat the
     # whole budget; retry once with whatever budget remains) ──────────────
-    flagship_timeout = max(180.0, min(0.55 * BUDGET_S, remaining() - 60.0))
+    flagship_timeout = max(min(180.0, 0.8 * BUDGET_S),
+                           min(0.55 * BUDGET_S, remaining() - 60.0))
     for attempt in range(2):
         r, err, wall = _run_subprocess(FLAGSHIP_NAME, flagship_timeout)
         if r is not None:
@@ -1081,7 +1109,7 @@ def main():
                            "remaining_s": round(remaining(), 1)},
             })
             continue
-        timeout_s = min(max(2.5 * est_scaled, est_scaled + 60.0),
+        timeout_s = min(max(2.5 * est_scaled, est_scaled + 60.0, 120.0),
                         remaining() - RESERVE_S)
         if args.in_process:
             _init_device()
