@@ -48,6 +48,7 @@ def tiny():
     return model, params, audio, one_hot, template
 
 
+@pytest.mark.slow
 def test_padded_batch_loss_is_length_weighted_combination(tiny):
     """loss(batch) == (sum_i n_i*rec_i)/(sum n_i) + 10*(sum_i p_i*vel_i)/(sum p_i)
     with rec_i/vel_i from exact unpadded B=1 runs."""
@@ -87,6 +88,7 @@ def test_padded_batch_loss_is_length_weighted_combination(tiny):
     )
 
 
+@pytest.mark.slow
 def test_padded_batch_grads_match_per_item_mean(tiny):
     """Equal-length clips in a padded buffer: batch gradient == mean of the
     per-item single-clip (unpadded) gradients."""

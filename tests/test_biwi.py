@@ -68,6 +68,7 @@ def test_one_hot_over_train_subjects(dm):
     assert np.all(batch["one_hot"] == 0)
 
 
+@pytest.mark.slow
 def test_fit_predict_evaluate_biwi(biwi_dir, tmp_path):
     """Full loop: ExpConfig(dataset='biwi') -> FaceFormer(dataset='biwi',
     period=25) -> fit on the synthetic corpus -> predict + evaluate."""

@@ -77,6 +77,7 @@ def test_export_roundtrip(modelname, mirror_cls):
     mirror.load_state_dict({k: torch.as_tensor(v) for k, v in exported.items()})
 
 
+@pytest.mark.slow
 def test_export_faceformer_full_roundtrip():
     """FULL-model torch -> jax -> torch round-trip: every original key —
     audio_encoder.* (incl. the weight-norm re-parameterized positional conv)
@@ -132,6 +133,7 @@ def test_export_faceformer_full_roundtrip():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_export_faceformer_from_flax_init():
     """Flax-native faceformer (not torch-originated) exports a state dict
     that loads into the reference architecture and matches the Flax forward
@@ -181,6 +183,7 @@ def test_export_faceformer_from_flax_init():
     assert np.abs(ours - ref).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_export_cli_roundtrip(tmp_path):
     """`a2f-export` turns an orbax checkpoint into a Lightning-style .ckpt
     whose tensors convert back (convert_state_dict) to the exact saved

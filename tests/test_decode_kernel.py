@@ -73,6 +73,7 @@ def test_fused_decode_matches_scan(b, t):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_faceformer_fused_flag_matches_scan():
     """End-to-end: FaceFormer(decode_impl='fused') == decode_impl='scan'
     (interpret-mode Pallas on CPU)."""

@@ -76,6 +76,7 @@ def test_main_renders_from_fresh_dir(tmp_path):
     assert os.path.exists(tmp_path / "output" / "tmp.mp4")
 
 
+@pytest.mark.slow
 def test_train_runs_from_fresh_dir(tmp_path):
     """`python train.py --config configs/audio2mesh.yaml` in an empty cwd:
     synthesizes a VOCASET stand-in, fits one epoch, predicts, saves verts."""
@@ -164,6 +165,7 @@ def test_eval_animation_diff(tmp_path):
     assert diff["mve"] > 0 and diff["lve"] >= 0
 
 
+@pytest.mark.slow
 def test_infer_frame_model_smoke(tmp_path):
     """`python infer.py --config <frame model>` serves a frame model from a
     wav + template, offline and --streaming (FrameStreamPool), writing
@@ -220,6 +222,7 @@ def test_packaging_console_entry_points():
         assert f"from {cli_mod} import main" in src, shim
 
 
+@pytest.mark.slow
 def test_train_biwi_from_fresh_dir(tmp_path):
     """`python train.py --config <biwi faceformer yaml>` in an empty cwd:
     routes to BiwiDataModule, synthesizes a BIWI stand-in corpus, fits one

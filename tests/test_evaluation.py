@@ -118,6 +118,7 @@ def test_evaluate_animation_infers_regions(anim):
     assert all(np.isfinite(v) for v in out.values())
 
 
+@pytest.mark.slow
 def test_experiment_evaluate_sweeps_test_split(tmp_path):
     """Audio2FaceExperiment.evaluate runs the full test split through
     predict and returns finite aggregate metrics (frame-model path)."""

@@ -24,6 +24,7 @@ def test_mfcc_extractor_voca_config():
     assert out.shape == (2, 29, 16)
 
 
+@pytest.mark.slow
 def test_wav2vec_extractor_contract():
     """(B, L@22k) -> (B, out_dim, n_feature): resample -> norm -> wav2vec2 ->
     bilinear (768, T) -> (52, 32) (reference src/model/extractor.py:63-96)."""

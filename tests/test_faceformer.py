@@ -135,6 +135,7 @@ def test_faceformer_batched_padded_decode(pair):
     assert err < 1e-4, f"batched vs solo err {err}"
 
 
+@pytest.mark.slow
 def test_faceformer_train_grad():
     """Gradients flow through the rematerialized scan (the reference
     backprops through the full autoregressive unroll)."""
@@ -212,6 +213,7 @@ def test_faceformer_biwi_mode_parity():
     assert err < 1e-4, f"max vertex err {err}"
 
 
+@pytest.mark.slow
 def test_biwi_fused_decode_matches_scan():
     """BIWI fused mega-kernel (2-way cross softmax in-kernel) == the scan
     path, end-to-end through the model (interpret-mode Pallas on CPU)."""

@@ -111,6 +111,7 @@ def test_scan_lstm_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_models_bf16_train_step():
     """bf16-compute train mode (the '16-mixed' config path) jits for all
     three frame models — pins the ScanLSTM carry-dtype invariant that only
@@ -138,6 +139,7 @@ def test_models_bf16_train_step():
         assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_models_jit_and_train_mode():
     """Train-mode forward (batch_stats mutable) runs under jit for all three."""
     rng = np.random.default_rng(4)

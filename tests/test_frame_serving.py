@@ -57,6 +57,7 @@ def predictor(request):
     )
 
 
+@pytest.mark.slow
 def test_matches_host_fragmenter_oracle(predictor):
     """Ragged clip lengths spanning bucket AND frame-chunk boundaries each
     reproduce the host-fragmented whole-clip forward."""
@@ -77,6 +78,7 @@ def test_matches_host_fragmenter_oracle(predictor):
     assert len(predictor._fns) <= 2
 
 
+@pytest.mark.slow
 def test_from_checkpoint_matches_trainer_predict(tmp_path):
     """A framework-trained audio2mesh checkpoint served through
     FramePredictor reproduces Audio2FaceExperiment.predict (which divides
@@ -185,6 +187,7 @@ def test_resampling_and_validation():
         FramePredictor(_cfg("faceformer", split_frame=False, batch_size=1))
 
 
+@pytest.mark.slow
 def test_warmup_precompiles_all_buckets(predictor):
     """FramePredictor.warmup covers every (batch, bucket) program: serving
     any clip <= max_seconds afterwards adds no new compiled programs."""

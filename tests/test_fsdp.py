@@ -68,6 +68,7 @@ def _tiny_faceformer_batch(n_verts, n_onehot, sr, batch=2, seconds=0.25, seed=3)
     }
 
 
+@pytest.mark.slow
 def test_trainer_fsdp_step_matches_single_device():
     """One FSDP(×TP) faceformer train step == the single-device step: GSPMD's
     all-gather/reduce-scatter insertion is numerically transparent."""
@@ -117,6 +118,7 @@ def test_trainer_fsdp_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_trainer_fsdp_frame_model_fit_smoke(tmp_path):
     """FSDP on a pure-DP mesh through init/train/eval for a BatchNorm model
     (audio2mesh): batch_stats replicate, state round-trips the fit loop."""

@@ -110,6 +110,7 @@ def test_wav_and_pcm_agree(daemon):
     np.testing.assert_allclose(v_wav, v_pcm, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_concurrent_clients_coalesce(daemon):
     rng = np.random.default_rng(4)
     audios = [(rng.normal(size=int(0.3 * SR)) * 0.1).astype(np.float32)

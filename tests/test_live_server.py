@@ -91,6 +91,7 @@ def test_wire_roundtrip_matches_solo(daemon, variables):
     assert daemon.stats()["samples_in"] >= clip.size
 
 
+@pytest.mark.slow
 def test_concurrent_clients_match_solos(daemon, variables):
     """Two clients streaming at once share the batched pool; each receives
     exactly its own solo-run animation."""

@@ -59,6 +59,7 @@ def _solo(variables, one_hot, template, clip, *, left=0.8, lookahead=0.0, pushes
     return np.concatenate([o for o in outs if o.size])
 
 
+@pytest.mark.slow
 def test_interleaved_streams_match_solo(setup):
     """Three concurrent streams, interleaved in different packet sizes,
     each == its solo run."""
@@ -96,6 +97,7 @@ def test_interleaved_streams_match_solo(setup):
                                    err_msg=f"stream {i}")
 
 
+@pytest.mark.slow
 def test_late_joining_stream_is_exact_and_harmless(setup):
     """A stream that joins mid-flight decodes exactly like a solo run, and
     the already-running stream's remaining frames are unchanged by the
@@ -124,6 +126,7 @@ def test_late_joining_stream_is_exact_and_harmless(setup):
     np.testing.assert_allclose(got_b, solo_b, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_masked_tail_flush_frame_count_and_quality(setup):
     """A non-chunk-multiple tail flushes through the SAME compiled decoder
     (full-width window, n_valid-masked) with the exact offline frame count."""
@@ -148,6 +151,7 @@ def test_masked_tail_flush_frame_count_and_quality(setup):
     assert np.abs(out[2 * 48 :] - solo[2 * 48 :]).max() < 0.3 * scale
 
 
+@pytest.mark.slow
 def test_pool_lifecycle_capacity_and_reuse(setup):
     variables, one_hot, template = setup
     pool = MultiStreamFaceFormerPredictor(
@@ -196,6 +200,7 @@ def test_single_compiled_program_pair(setup):
     assert enc1 is not None and dec1 is not None
 
 
+@pytest.mark.slow
 def test_fleet_mesh_pool_matches_solo(setup):
     """A mesh-sharded pool (slot axis over the data axis) reproduces solo
     streams; the KV caches actually live sharded; an indivisible pool size
@@ -236,6 +241,7 @@ def test_fleet_mesh_pool_matches_solo(setup):
                                    err_msg=f"fleet stream {i}")
 
 
+@pytest.mark.slow
 def test_streaming_server_concurrent_sessions(setup):
     """Concurrent threaded callers through StreamingServer each reproduce
     their solo stream; pool-full open_session raises; wait=True blocks

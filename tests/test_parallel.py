@@ -70,6 +70,7 @@ def test_wav2vec2_tp_spec_rules():
     assert spec_for("layer1", "layer_norm", "scale") == P()
 
 
+@pytest.mark.slow
 def test_wav2vec2_tensor_parallel_forward_matches_replicated():
     """TP-sharded wav2vec2 forward == replicated forward (GSPMD collectives)."""
     from audio2face_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
@@ -92,6 +93,7 @@ def test_wav2vec2_tensor_parallel_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_trainer_tensor_parallel_step_matches_single_device():
     """Audio2FaceExperiment auto-enables TP on a mesh with a model axis;
     one DP×TP faceformer train step == the single-device step (metrics and
@@ -153,6 +155,7 @@ def test_trainer_tensor_parallel_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     """Cheap in-process variant: conftest's 8-device CPU mesh covers n=2."""
     import __graft_entry__
@@ -160,6 +163,7 @@ def test_dryrun_multichip_entry():
     __graft_entry__.dryrun_multichip(2)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions():
     """Simulate the driver environment: a backend with ONE visible device.
 

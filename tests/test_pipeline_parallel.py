@@ -37,6 +37,7 @@ def setup():
     return encoder, variables, audio
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_stages", [2, 4])
 def test_pp_matches_unsharded(setup, n_stages):
     """n_stages-deep pipeline (microbatch size 1) == the plain encoder."""
@@ -51,6 +52,7 @@ def test_pp_matches_unsharded(setup, n_stages):
     )
 
 
+@pytest.mark.slow
 def test_pp_microbatch_gt1_and_padded_lengths(setup):
     """Microbatches of 2 with ragged per-item valid lengths: the valid
     prefixes match the unsharded padded forward."""
@@ -70,6 +72,7 @@ def test_pp_microbatch_gt1_and_padded_lengths(setup):
         )
 
 
+@pytest.mark.slow
 def test_pp_dp_combined(setup):
     """2x2 mesh: microbatch dim sharded over data, stages over model."""
     encoder, variables, audio = setup
@@ -84,6 +87,7 @@ def test_pp_dp_combined(setup):
     )
 
 
+@pytest.mark.slow
 def test_pp_gradients_match(setup):
     """jax.grad through the pipeline (scan + ppermute + psum all have exact
     transposes) == grad through the plain layer stack, i.e. the schedule is

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from audio2face_tpu.utils.facemesh import FaceMesh
@@ -77,6 +78,7 @@ def test_render_fault_tolerance():
     np.testing.assert_array_equal(images[0], images[1])
 
 
+@pytest.mark.slow
 def test_fast_path_matches_banded():
     """The batched scatter-max rasterizer must agree with the exact banded
     path (z keys are quantized to 22 bits, so allow the same tolerance the
@@ -164,6 +166,7 @@ def test_tiled_rasterizer_matches_banded():
     assert (fast[:, :, 0] != 255).mean() > 0.05
 
 
+@pytest.mark.slow
 def test_tiled_rasterizer_nan_and_degenerate():
     """NaN frames render as background; zero-area triangles draw nothing
     (the scatter path's inv_area=0 convention marks every bbox pixel
@@ -210,6 +213,7 @@ def test_tiled_rasterizer_nan_and_degenerate():
     np.testing.assert_array_equal(imgs[0], solo[0])
 
 
+@pytest.mark.slow
 def test_tiled_cropped_matches_full():
     """The cropped-transfer tiled path must reconstruct the exact full-frame
     image (the crop covers the projected-vertex bbox; everything outside is
@@ -270,6 +274,7 @@ def test_tiled_cropped_matches_full():
     np.testing.assert_array_equal(p_fit, fit)
 
 
+@pytest.mark.slow
 def test_rasterize_batched_submatches_direct(monkeypatch):
     """Batches larger than RASTER_BATCH must rasterize via the lax.map
     sub-batch path (the Pallas kernel's SMEM bbox prefetch caps F) and
@@ -314,6 +319,7 @@ def test_rasterize_batched_submatches_direct(monkeypatch):
         R.render_frames_tiled_cropped.clear_cache()
 
 
+@pytest.mark.slow
 def test_rasterize_batched_non_multiple_pads(monkeypatch):
     """F > RASTER_BATCH with F % RASTER_BATCH != 0 (e.g. a 3-frame batch at
     RASTER_BATCH=2) must pad into the sub-batch path, not fall through to a

@@ -35,6 +35,7 @@ def setup():
     return encoder, variables, audio
 
 
+@pytest.mark.slow
 def test_sp_layers_match_unsharded(setup):
     """4-way time sharding of the layer stack == the plain encoder, with a
     T not divisible by the mesh axis (padded tail masked out)."""
@@ -51,6 +52,7 @@ def test_sp_layers_match_unsharded(setup):
     )
 
 
+@pytest.mark.slow
 def test_sp_respects_padded_batch_lengths(setup):
     """Per-item valid lengths mask attention identically under SP: a padded
     batch's valid prefixes match the unsharded padded forward."""
@@ -74,6 +76,7 @@ def test_sp_respects_padded_batch_lengths(setup):
         )
 
 
+@pytest.mark.slow
 def test_sp_layers_entry_point(setup):
     """The split-point API: pre_layers_only + sequence_parallel_layers is
     the same computation as the fused convenience wrapper."""
@@ -88,6 +91,7 @@ def test_sp_layers_entry_point(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sp_gather_output_matches_sharded(setup):
     """gather_output=True (the serving mode: output replicated so the
     Pallas decode kernel downstream never sees sharded operands) is the
@@ -101,6 +105,7 @@ def test_sp_gather_output_matches_sharded(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_faceformer_predictor_sp_mesh_matches_solo():
     """End-to-end sequence-parallel serving: FaceFormerPredictor(sp_mesh=)
     time-shards the full-size wav2vec2 encoder over 2 chips and reproduces

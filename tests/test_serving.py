@@ -55,6 +55,7 @@ def test_resampling_path(predictor):
     assert out[0].shape[0] == (11000 * 16000 // 22000) * 60 // 16000
 
 
+@pytest.mark.slow
 def test_from_checkpoint_matches_trainer_predict(tmp_path):
     """Unit-scale parity: a framework-trained orbax checkpoint served through
     FaceFormerPredictor must reproduce Audio2FaceExperiment.predict exactly.
@@ -448,6 +449,7 @@ def test_batch_grid_idempotent_and_complete():
         assert len(grid) <= max_batch.bit_length() + 1
 
 
+@pytest.mark.slow
 def test_biwi_predictor_plumbing():
     """dataset="biwi" serves at the 25 fps clock, and a checkpoint/predictor
     dataset mismatch is an error instead of silent garbage (flax would

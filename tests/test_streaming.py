@@ -65,6 +65,7 @@ def test_single_window_matches_offline_exactly(setup):
     assert err < 1e-5 + 1e-4 * scale, (err, scale)
 
 
+@pytest.mark.slow
 def test_chunked_matches_offline_within_tolerance(setup):
     """0.8 s chunks, 1.6 s left context, 0.4 s lookahead: mid-stream frames
     track the offline output; incremental emission covers every frame."""
@@ -142,6 +143,7 @@ def test_flush_emits_exact_offline_frame_count(setup):
         pred.push(audio[0, :800])
 
 
+@pytest.mark.slow
 def test_push_granularity_does_not_change_output(setup):
     """Emitted vertices are a deterministic function of (audio, config):
     feeding the same clip in 100 ms packets vs one big push must produce
@@ -166,6 +168,7 @@ def test_push_granularity_does_not_change_output(setup):
     np.testing.assert_array_equal(small, big)
 
 
+@pytest.mark.slow
 def test_flush_tail_widths_are_grain_bucketed(setup):
     """Flush windows are padded to the 800-sample grain: two clips whose
     tails round to the same grain bucket must reuse ONE compiled encoder

@@ -53,6 +53,7 @@ def tiny_setup(tmp_path_factory):
     return cfg, dm
 
 
+@pytest.mark.slow
 def test_fit_reduces_error_and_checkpoints(tiny_setup, tmp_path):
     cfg, dm = tiny_setup
     exp = Audio2FaceExperiment(cfg, log_dir=str(tmp_path / "run"))
@@ -68,6 +69,7 @@ def test_fit_reduces_error_and_checkpoints(tiny_setup, tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mid_run_resume(tiny_setup, tmp_path):
     """fit(resume=True) continues from the newest checkpoint with optimizer
     state and epoch counter — capability absent in the reference."""
@@ -83,6 +85,7 @@ def test_mid_run_resume(tiny_setup, tmp_path):
     assert int(state2.step) > step_after
 
 
+@pytest.mark.slow
 def test_periodic_checkpointing(tiny_setup, tmp_path):
     """checkpoint_every_steps=N writes rolling preemption-safety saves: the
     newest two periodic checkpoints are kept, they are step-sortable next to
@@ -133,6 +136,7 @@ class _CrashingDM:
             yield batch
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_finishes_epoch(tiny_setup, tmp_path):
     """Resuming from a mid-epoch periodic checkpoint must finish the
     interrupted epoch's remaining batches (replaying the same (seed, epoch)
@@ -181,6 +185,7 @@ def test_voca_checkpoint_roundtrip(tiny_setup, tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_early_stopping(tiny_setup, tmp_path):
     cfg, dm = tiny_setup
     cfg = cfg.model_copy(update={"early_stop_patience": 1, "lr": 0.0})
@@ -190,6 +195,7 @@ def test_early_stopping(tiny_setup, tmp_path):
     assert result.epochs_run <= 3
 
 
+@pytest.mark.slow
 def test_song2face_trains(tiny_setup, tmp_path):
     """Registry completeness: song2face runs through the full experiment."""
     cfg, dm = tiny_setup
@@ -214,6 +220,7 @@ def test_loss_override(tiny_setup, tmp_path):
         Audio2FaceExperiment(cfg.model_copy(update={"loss": "mse"}), log_dir=str(tmp_path))
 
 
+@pytest.mark.slow
 def test_bf16_policy(tiny_setup, tmp_path):
     cfg, dm = tiny_setup
     cfg = cfg.model_copy(update={"percision": "16-mixed"})
@@ -277,6 +284,7 @@ def test_gradient_accumulation_matches_full_batch(tmp_path):
         Audio2FaceExperiment(cfg, accumulate_grad_batches=0)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_batchnorm_model_runs(tmp_path):
     """audio2mesh (BatchNorm) under accumulation: BN statistics update per
     microbatch (k sequential torch forwards), so no bit-parity claim —

@@ -178,6 +178,7 @@ def test_biwi_trim_branch(flax_params):
     assert out_capped.shape[1] == 20
 
 
+@pytest.mark.slow
 def test_fps_fallback_no_int32_overflow():
     """The output_lengths fallback must be exact for clips where
     lengths * output_len overflows int32, and must REFUSE configurations
