@@ -41,7 +41,15 @@ def enable_persistent_cache(path: str | None = None) -> None:
             return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY program, including sub-second utility jits
+        # (convert_element_type, threefry, broadcast...): the default 1 s
+        # floor leaves dozens of tiny programs to recompile in every
+        # process, and remote-tunnel compile latency is bimodal — normally
+        # ~0.5 s each, but a stalled compile server turns each into
+        # 60 s+ (measured: the same warm flagship run is 120 s in a good
+        # mood and 800 s in a bad one, all of it in tiny-program
+        # backend_compile calls)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # cache is an optimization; never fail an entry point over it

@@ -61,7 +61,7 @@ def _init_device():
 
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("A2F_BENCH_BUDGET_S", "450"))
+BUDGET_S = float(os.environ.get("A2F_BENCH_BUDGET_S", "700"))
 # seconds held back for the closing flagship line + scheduler overhead
 RESERVE_S = 20.0
 
@@ -152,19 +152,19 @@ _FF_VARIABLES = None
 
 
 def _ff_variables():
-    """FaceFormer init shared across the entries of one process: one ~95M-
-    param on-device init instead of one per entry (~10-18 s each)."""
+    """Shared FaceFormer init, nudged +0.01*N(0,1) off the ZERO-init
+    vertice maps (reference faceformer.py:132-135) — a raw-init model
+    emits exactly the template, degenerating fidelity metrics to 0/0."""
     global _FF_VARIABLES
     if _FF_VARIABLES is None:
         from audio2face_tpu.models.faceformer import FaceFormer
 
         model = FaceFormer(n_verts=N_VERTS, n_onehot=N_ONEHOT)
-        _FF_VARIABLES = jax.jit(model.init)(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, SR), jnp.float32),
+        init = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, SR), jnp.float32),
             jnp.zeros((1, N_ONEHOT), jnp.float32),
-            jnp.zeros((1, N_VERTS // 3, 3), jnp.float32),
-        )
+            jnp.zeros((1, N_VERTS // 3, 3), jnp.float32))
+        _FF_VARIABLES = _perturb_tree(init)
     return _FF_VARIABLES
 
 
@@ -1075,8 +1075,8 @@ def main():
 
     # ── flagship FIRST (subprocess: a hung remote compile must not eat the
     # whole budget; retry once with whatever budget remains) ──────────────
-    flagship_timeout = max(min(180.0, 0.8 * BUDGET_S),
-                           min(0.55 * BUDGET_S, remaining() - 60.0))
+    flagship_timeout = min(max(150.0, 0.25 * BUDGET_S),
+                           max(remaining() - 60.0, 60.0))
     for attempt in range(2):
         r, err, wall = _run_subprocess(FLAGSHIP_NAME, flagship_timeout)
         if r is not None:
@@ -1121,6 +1121,18 @@ def main():
             wall = time.perf_counter() - tic
         else:
             r, err, wall = _run_subprocess(name, timeout_s)
+            if r is None and remaining() - RESERVE_S > est_scaled:
+                # one retry: subprocess hangs (remote attach/compile stalls,
+                # ~5-20% of launches on a moody tunnel) reliably resolve on
+                # relaunch; losing the entry hurts the record more than the
+                # extra budget
+                retry_t = min(timeout_s, remaining() - RESERVE_S)
+                r2, err2, wall2 = _run_subprocess(name, retry_t)
+                wall += wall2
+                if r2 is not None:
+                    r, err = r2, None
+                else:
+                    err = f"{err}; retry: {err2}"
         if r is None:
             r = {"metric": name, "value": None, "unit": None,
                  "vs_baseline": None, "detail": {"error": err}}
@@ -1132,6 +1144,27 @@ def main():
 
     # ── flagship LAST: the driver parses the final stdout JSON line ──────
     _print_line(_flagship_line(flagship))
+
+
+def _perturb_tree(tree, scale: float = 0.01):
+    """+scale*N(0,1) on every leaf, computed ON DEVICE: a host-side numpy
+    perturb (the tests' convention, test_streaming.py:40-44) would push
+    ~380 MB of fresh params back through the ~20 MB/s tunnel. One jitted
+    elementwise program, persistent-cached like everything else. Defined
+    below main() so the function bodies above keep their line numbers
+    (compiled Pallas payloads embed source locations — see the scheduler
+    comment at _COSTS)."""
+
+    @jax.jit
+    def go(t):
+        leaves, td = jax.tree.flatten(t)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        return jax.tree.unflatten(td, [
+            p + scale * jax.random.normal(k, p.shape, p.dtype)
+            for p, k in zip(leaves, keys)
+        ])
+
+    return go(tree)
 
 
 if __name__ == "__main__":
