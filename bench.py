@@ -950,18 +950,23 @@ def _costs() -> dict:
 
 
 def _suite():
+    # tier 0: the headline-capability entries (render, streaming compute,
+    # streaming fidelity, serving capacity) run FIRST so a tunnel-hang
+    # budget drain (one hang costs its timeout even with the retry)
+    # starves the tail, not them. tier 1: the two training entries.
+    # tier 1.5: breadth extras. Cheapest-first within a tier.
     defaults = [
-        ("train_step", bench_train_step, 45.0, 0),
-        ("streaming", bench_streaming, 50.0, 0),
         ("render", bench_render, 70.0, 0),
-        ("faceformer_train_batched", bench_faceformer_train_batched, 80.0, 0),
+        ("streaming", bench_streaming, 50.0, 0),
         ("streaming_fidelity", bench_streaming_fidelity, 90.0, 0),
         ("max_streams", bench_max_streams, 110.0, 0),
-        ("voca", bench_voca, 25.0, 1),
-        ("audio2mesh", bench_audio2mesh, 30.0, 1),
-        ("frame_stream", bench_frame_stream, 40.0, 1),
-        ("faceformer_10s_bs1", lambda: bench_faceformer_decode(10.0, 1), 60.0, 1),
-        ("multistream", bench_multistream, 60.0, 1),
+        ("train_step", bench_train_step, 45.0, 1),
+        ("faceformer_train_batched", bench_faceformer_train_batched, 80.0, 1),
+        ("voca", bench_voca, 25.0, 1.5),
+        ("audio2mesh", bench_audio2mesh, 30.0, 1.5),
+        ("frame_stream", bench_frame_stream, 40.0, 1.5),
+        ("faceformer_10s_bs1", lambda: bench_faceformer_decode(10.0, 1), 60.0, 1.5),
+        ("multistream", bench_multistream, 60.0, 1.5),
         # not scheduled by default (headline training number is the batched
         # entry); run with --only faceformer_train
         ("faceformer_train", bench_faceformer_train, 90.0, 2),
